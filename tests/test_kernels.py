@@ -1,0 +1,379 @@
+"""Kernel correctness: pinned reference unit cases, the reference's
+regression corpus, and differential tests (vectorized kernels vs the
+independent scalar implementation).
+
+Reference contracts ported:
+* unit cases /root/reference/src/lib.rs:464-526
+* regression geometries /root/reference/proptest-regressions/*.txt
+* proptest generator shapes /root/reference/src/proptests.rs:15-87
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spatialjoin import geom, kernels, scalar_ref
+from spatialjoin.geom import (
+    LINE,
+    LINESTRING,
+    POINT,
+    POLYGON,
+    RECT,
+    TRIANGLE,
+    GeomBatch,
+    BadCoordinateValue,
+    BadMaxDistance,
+    LineStringTooSmall,
+    PolygonExteriorTooSmall,
+)
+from spatialjoin.oracle import slow_prox_map, slow_spatial_join
+
+
+def gb(rows):
+    """rows: list of (kind, coords[, ring_offsets])"""
+    kinds = [r[0] for r in rows]
+    coords = [r[1] for r in rows]
+    rings = [r[2] if len(r) > 2 else None for r in rows]
+    return GeomBatch.from_lists(kinds, coords, rings)
+
+
+def sref(rows):
+    return [scalar_ref.make(r[0], r[1], r[2] if len(r) > 2 else None) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# pinned unit cases (src/lib.rs:464-526)
+# ---------------------------------------------------------------------------
+
+
+def test_simple_index_self():
+    small = gb([(POINT, [1.0, 1.0])])
+    big = gb([(POINT, [1.0, 1.0])])
+    assert slow_prox_map(small, big, 4.0) == [(0, 0, 0.0)]
+
+
+def test_self_spatial_join_pair():
+    pts = gb([(POINT, [1.0, 1.0]), (POINT, [22.0, 22.0])])
+    assert slow_spatial_join(pts, pts, "intersects") == [(0, 0), (1, 1)]
+
+
+def test_simple_index_some_other():
+    small = gb([(POINT, [1.0, 1.0])])
+    big = gb([(POINT, [2.0, 1.0])])
+    assert slow_prox_map(small, big, 4.0) == [(0, 0, 1.0)]
+
+
+def test_simple_index_none():
+    small = gb([(POINT, [1.0, 1.0])])
+    big = gb([(POINT, [2.0, 1.0])])
+    assert slow_prox_map(small, big, 0.5) == []
+
+
+def test_contains_box():
+    # README doc-test shape (src/lib.rs:122-156): outer rect contains inner
+    small = gb([(RECT, [-1.0, -1.0, 1.0, 1.0])])
+    big = gb([(RECT, [-0.5, -0.5, 0.5, 0.5])])
+    assert slow_spatial_join(small, big, "contains") == [(0, 0)]
+    assert slow_spatial_join(small, big, "within") == []
+    assert slow_spatial_join(big, small, "within") == [(0, 0)]
+    assert slow_spatial_join(small, big, "intersects") == [(0, 0)]
+
+
+# ---------------------------------------------------------------------------
+# validation parity (src/validation.rs, src/structs.rs:9-22)
+# ---------------------------------------------------------------------------
+
+
+def test_validation_nan_coord():
+    with pytest.raises(BadCoordinateValue) as ei:
+        gb([(POINT, [0.0, 0.0]), (POINT, [float("nan"), 1.0])])
+    assert ei.value.position == 1
+
+
+def test_validation_linestring_too_small():
+    with pytest.raises(LineStringTooSmall) as ei:
+        gb([(POINT, [0.0, 0.0]), (LINESTRING, [1.0, 1.0])])
+    assert ei.value.position == 1
+
+
+def test_validation_empty_linestring():
+    # regression corpus: LineString([]) must raise, not crash
+    with pytest.raises(LineStringTooSmall):
+        gb([(LINESTRING, [])])
+
+
+def test_validation_polygon_exterior_too_small():
+    # geo::Polygon auto-closes the exterior before the >=3 check, so two
+    # DISTINCT points close to 3 coords and pass; a single point or a
+    # degenerate already-closed pair fails (src/validation.rs:90-105)
+    with pytest.raises(PolygonExteriorTooSmall):
+        gb([(POLYGON, [0.0, 0.0], [0])])
+    with pytest.raises(PolygonExteriorTooSmall):
+        gb([(POLYGON, [1.0, 1.0, 1.0, 1.0], [0])])
+    gb([(POLYGON, [0.0, 0.0, 1.0, 1.0], [0])])  # closes to 3 coords: valid
+
+
+def test_validation_bad_max_distance():
+    with pytest.raises(BadMaxDistance):
+        geom.validate_max_distance(-1.0)
+    with pytest.raises(BadMaxDistance):
+        geom.validate_max_distance(float("nan"))
+    assert geom.validate_max_distance(0.0) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# reference quirks
+# ---------------------------------------------------------------------------
+
+
+def test_point_point_exact_equality():
+    a = gb([(POINT, [0.1 + 0.2, 0.0])])
+    b = gb([(POINT, [0.3, 0.0])])
+    # 0.1 + 0.2 != 0.3 in f64 -> no intersection (relates_impl.rs:415-417)
+    assert slow_spatial_join(a, b, "intersects") == []
+
+
+def test_degenerate_triangle_contains_only_equal_point():
+    tri = gb([(TRIANGLE, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0])])
+    hit = gb([(POINT, [1.0, 1.0])])
+    miss = gb([(POINT, [1.0, 1.0000001])])
+    assert slow_spatial_join(tri, hit, "intersects") == [(0, 0)]
+    assert slow_spatial_join(tri, miss, "intersects") == []
+
+
+def test_triangle_polygon_hole_quirk():
+    """relates_impl.rs:359-367: any triangle 'intersects' a holed polygon
+    unless inside one of its holes; a triangle strictly inside a
+    hole-less polygon does NOT intersect it."""
+    far_tri = [(TRIANGLE, [100.0, 100.0, 101.0, 100.0, 100.0, 101.0])]
+    square = [0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0]
+    hole = [4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0]
+    holed = [(POLYGON, square + hole, [0, 4])]
+    plain = [(POLYGON, square, [0])]
+    assert slow_spatial_join(gb(far_tri), gb(holed), "intersects") == [(0, 0)]
+    inner_tri = [(TRIANGLE, [1.0, 1.0, 2.0, 1.0, 1.0, 2.0])]
+    assert slow_spatial_join(gb(inner_tri), gb(plain), "intersects") == []
+    # scalar ref must agree with the quirk in both argument orders
+    assert scalar_ref.intersects(sref(far_tri)[0], sref(holed)[0])
+    assert scalar_ref.intersects(sref(holed)[0], sref(far_tri)[0])
+    assert not scalar_ref.intersects(sref(inner_tri)[0], sref(plain)[0])
+
+
+def test_polygon_contains_is_boundary_exclusive_rect_inclusive():
+    sq = [(POLYGON, [0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0], [0])]
+    on_edge = [(POINT, [1.0, 0.0])]
+    inside = [(POINT, [1.0, 1.0])]
+    assert slow_spatial_join(gb(sq), gb(on_edge), "contains") == []
+    assert slow_spatial_join(gb(sq), gb(inside), "contains") == [(0, 0)]
+    r = [(RECT, [0.0, 0.0, 2.0, 2.0])]
+    assert slow_spatial_join(gb(r), gb(on_edge), "contains") == [(0, 0)]
+
+
+def test_point_in_holed_polygon():
+    square = [0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0]
+    hole = [4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0]
+    holed = gb([(POLYGON, square + hole, [0, 4])])
+    in_hole = gb([(POINT, [5.0, 5.0])])
+    in_meat = gb([(POINT, [2.0, 2.0])])
+    assert slow_spatial_join(holed, in_hole, "contains") == []
+    assert slow_spatial_join(holed, in_meat, "contains") == [(0, 0)]
+    # distance from the hole-dweller is 0? No: polygon-point distance is
+    # min over ALL rings when not contained -> distance to hole ring = 1.0
+    assert slow_prox_map(holed, in_hole, 2.0) == [(0, 0, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# regression corpus (proptest-regressions/*.txt), as kernel-vs-scalar checks
+# ---------------------------------------------------------------------------
+
+SLIVER_POLY = (
+    POLYGON,
+    [1e-6, 0.0, 7.071067811865476e-7, 7.071067811865475e-7, 6.123233995736766e-23, 1e-6],
+    [0],
+)
+DEGEN_POLY = (POLYGON, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0], [0])
+REG_PAIRS = [
+    # lib.txt seed: degenerate zero-area polygon at origin vs origin point
+    (DEGEN_POLY, (POINT, [0.0, 0.0])),
+    # proptests.txt: sliver polygon vs 1-pt/empty linestrings raise; use valid 2pt
+    (SLIVER_POLY, (LINESTRING, [0.0, 0.0, 0.0, 0.0])),
+    # polygon vs rect distance case
+    (
+        (
+            POLYGON,
+            [
+                0.2830489625756334, 0.0,
+                0.2520571956822212, 0.09538285075582777,
+                0.1709196965838543, 0.1543326944667879,
+                0.07062823217394498, 0.15433269446678793,
+            ],
+            [0],
+        ),
+        (RECT, [0.3051777447381212, 0.19669725667687643, 0.4213073259271589, 1.1928087604867796]),
+    ),
+    # line vs 12-gon case
+    (
+        (LINE, [0.0, 0.0, -0.16371620275753784, 0.6927014516964842]),
+        (
+            POLYGON,
+            [
+                0.16819167902313092, 0.9630196581794301,
+                0.15759414274018685, 1.0502982217616563,
+                0.1264174241796423, 1.132504472473154,
+                0.07647340090147503, 1.2048608818301343,
+                0.010664637999474147, 1.2631623583256162,
+                -0.06718429843161658, 1.304020632062927,
+                -0.15254911117579234, 1.3250611686862364,
+                -0.24046870760483086, 1.3250611686862364,
+                -0.32583352034900664, 1.304020632062927,
+                -0.4036824567800973, 1.2631623583256164,
+                -0.46949121968209834, 1.2048608818301343,
+                -0.5194352429602654, 1.1325044724731543,
+            ],
+            [0],
+        ),
+    ),
+    # pentagon vs line case
+    (
+        (
+            POLYGON,
+            [
+                1.187921045169523, 0.13548520119881102,
+                0.9859597198710358, 0.4852924777797367,
+                0.5820370692740611, 0.4852924777797368,
+                0.3800757439755737, 0.13548520119881108,
+                0.5820370692740608, -0.21432207538211462,
+            ],
+            [0],
+        ),
+        (LINE, [-0.33977562454670807, 0.0, 0.49486139442294563, 0.438739662450339]),
+    ),
+    # rect vs triangle-fan polygon case
+    (
+        (RECT, [-0.17084137691985102, 0.09858870312437906, 0.45257457282855895, 0.8748085493016657]),
+        (
+            POLYGON,
+            [
+                -0.10781391405721802, -0.15433610862574643,
+                -0.7855276236615211, 0.23694208404779793,
+                -0.7855276236615214, -0.5456143012992907,
+            ],
+            [0],
+        ),
+    ),
+]
+
+ALL_DEGENERATE = [
+    (POINT, [0.0, 0.0]),
+    (TRIANGLE, [0.0] * 6),
+    (POINT, [0.0, 0.0]),
+    (RECT, [0.0] * 4),
+    (RECT, [0.0] * 4),
+    (TRIANGLE, [0.0] * 6),
+    (RECT, [0.0] * 4),
+    (POINT, [0.0, 0.0]),
+]
+
+
+def _check_pair_agreement(rows_a, rows_b):
+    A, B = gb(rows_a), gb(rows_b)
+    SA, SB = sref(rows_a), sref(rows_b)
+    n_a, n_b = len(rows_a), len(rows_b)
+    ai = np.repeat(np.arange(n_a), n_b)
+    bi = np.tile(np.arange(n_b), n_a)
+    k_int = kernels.intersects(A, ai, B, bi)
+    k_con = kernels.contains(A, ai, B, bi)
+    k_within = kernels.contains(B, bi, A, ai)
+    k_dst = kernels.distance(A, ai, B, bi)
+    for r, (i, j) in enumerate(zip(ai.tolist(), bi.tolist())):
+        assert k_int[r] == scalar_ref.intersects(SA[i], SB[j]), (rows_a[i], rows_b[j], "int")
+        assert k_con[r] == scalar_ref.contains(SA[i], SB[j]), (rows_a[i], rows_b[j], "con")
+        assert k_within[r] == scalar_ref.contains(SB[j], SA[i]), (rows_a[i], rows_b[j], "win")
+        sd = scalar_ref.distance(SA[i], SB[j])
+        assert math.isclose(k_dst[r], sd, rel_tol=1e-12, abs_tol=1e-15), (
+            rows_a[i], rows_b[j], k_dst[r], sd,
+        )
+
+
+def test_regression_corpus_agreement():
+    for a, b in REG_PAIRS:
+        _check_pair_agreement([a], [b])
+        _check_pair_agreement([b], [a])
+
+
+def test_all_degenerate_sequence():
+    _check_pair_agreement(ALL_DEGENERATE, ALL_DEGENERATE)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis differential tests mirroring proptests.rs:15-87 generators
+# ---------------------------------------------------------------------------
+
+coord = st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=64)
+
+
+@st.composite
+def geometry(draw):
+    kind = draw(st.sampled_from([POINT, LINE, LINESTRING, POLYGON, RECT, TRIANGLE]))
+    if kind == POINT:
+        return (POINT, [draw(coord), draw(coord)])
+    if kind == LINE:
+        return (LINE, [draw(coord) for _ in range(4)])
+    if kind == LINESTRING:
+        npts = draw(st.integers(min_value=2, max_value=8))
+        return (LINESTRING, [draw(coord) for _ in range(2 * npts)])
+    if kind == RECT:
+        x1, y1, x2, y2 = (draw(coord) for _ in range(4))
+        return (RECT, [min(x1, x2), min(y1, y2), max(x1, x2), max(y1, y2)])
+    if kind == TRIANGLE:
+        return (TRIANGLE, [draw(coord) for _ in range(6)])
+    # regular polygon approximation (proptests.rs:50-67)
+    nv = draw(st.integers(min_value=3, max_value=10))
+    radius = draw(st.floats(min_value=1e-6, max_value=0.5))
+    cx, cy = draw(coord), draw(coord)
+    pts = []
+    for i in range(nv):
+        ang = 2.0 * math.pi * i / nv
+        pts += [cx + radius * math.cos(ang), cy + radius * math.sin(ang)]
+    if draw(st.booleans()):
+        # punch a centered hole at half radius (extends the reference
+        # corpus: its generator is hole-less, but holes are in-contract)
+        hole = []
+        for i in range(nv):
+            ang = 2.0 * math.pi * i / nv
+            hole += [cx + 0.5 * radius * math.cos(ang), cy + 0.5 * radius * math.sin(ang)]
+        return (POLYGON, pts + hole, [0, nv])
+    return (POLYGON, pts, [0])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(geometry(), min_size=1, max_size=5), st.lists(geometry(), min_size=1, max_size=5))
+def test_vectorized_matches_scalar(rows_a, rows_b):
+    _check_pair_agreement(rows_a, rows_b)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(geometry(), min_size=1, max_size=6),
+    st.lists(geometry(), min_size=1, max_size=6),
+    st.floats(min_value=0.0, max_value=4.0),
+)
+def test_prox_map_matches_scalar(rows_a, rows_b, max_d):
+    A, B = gb(rows_a), gb(rows_b)
+    got = slow_prox_map(A, B, max_d)
+    SA, SB = sref(rows_a), sref(rows_b)
+    want = sorted(
+        (j, i, scalar_ref.distance(SA[i], SB[j]))
+        for i in range(len(SA))
+        for j in range(len(SB))
+        if scalar_ref.distance(SA[i], SB[j]) <= max_d
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1]
+        assert math.isclose(g[2], w[2], rel_tol=1e-12, abs_tol=1e-15)
