@@ -166,6 +166,44 @@ class GeomBatch:
             gb.validate()
         return gb
 
+    @staticmethod
+    def from_columns(kinds, coords_list, rings_list=None, validate: bool = False):
+        """Fast batch constructor for the engine hot path (refine UDFs).
+
+        ``coords_list``: sequence of flat [x,y,...] arrays (as handed to a
+        pandas UDF). Polygon rings MUST already be closed (engine
+        contract; ``from_lists`` is the lenient test-side constructor).
+        ``rings_list[i]``: ring start offsets (in points) or None.
+        """
+        kind = np.asarray(kinds, dtype=np.int8)
+        n = len(kind)
+        if n == 0:
+            z = np.zeros(0)
+            return GeomBatch(kind, np.zeros(1, dtype=np.int64), z, z.copy(),
+                             np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int64))
+        arrs = [np.asarray(c, dtype=np.float64) for c in coords_list]
+        lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
+        flat = np.concatenate(arrs) if n else np.zeros(0)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens // 2, out=offs[1:])
+        xs = flat[0::2]
+        ys = flat[1::2]
+        ring_counts = np.zeros(n, dtype=np.int32)
+        ring_starts = np.zeros(0, dtype=np.int64)
+        poly_rows = np.flatnonzero(kind == POLYGON)
+        if len(poly_rows):
+            parts = []
+            for i in poly_rows:
+                r = rings_list[i] if rings_list is not None else None
+                ro = np.asarray(r if r is not None and len(r) else [0], dtype=np.int64)
+                ring_counts[i] = len(ro)
+                parts.append(ro + offs[i])
+            ring_starts = np.concatenate(parts)
+        gb = GeomBatch(kind, offs, xs, ys, ring_counts, ring_starts)
+        if validate:
+            gb.validate()
+        return gb
+
     # -- validation (reference parity) ------------------------------------
 
     def validate(self) -> None:

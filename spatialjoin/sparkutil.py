@@ -1,0 +1,63 @@
+"""Spark session + DataFrame helpers shared by engine, tests, and bench."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GEOM_FIELDS = [
+    T.StructField("kind", T.IntegerType(), False),
+    T.StructField("coords", T.ArrayType(T.DoubleType(), False), False),
+    T.StructField("rings", T.ArrayType(T.IntegerType(), False), True),
+]
+
+
+def geometry_schema(id_name: str = "id") -> T.StructType:
+    return T.StructType([T.StructField(id_name, T.LongType(), False)] + GEOM_FIELDS)
+
+
+def get_spark(cpus: int | None = None, app: str = "spatialjoin", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    shuffle = shuffle_partitions or max(2 * cpus, 8)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def geoms_to_df(spark, rows, id_name: str = "id"):
+    """rows: list of (kind, coords[, ring_offsets]); ids are positions,
+    mirroring the reference's positional row identity."""
+    data = []
+    for i, r in enumerate(rows):
+        kind, coords = r[0], [float(c) for c in r[1]]
+        rings = list(r[2]) if len(r) > 2 and r[2] is not None else None
+        if kind == 3:  # polygon: engine contract = closed rings
+            coords, rings = _close_rings(coords, rings)
+        data.append((i, kind, coords, rings))
+    return spark.createDataFrame(data, geometry_schema(id_name))
+
+
+def _close_rings(coords, rings):
+    rings = rings or [0]
+    pts = [(coords[i], coords[i + 1]) for i in range(0, len(coords), 2)]
+    out_pts, out_rings = [], []
+    ends = rings[1:] + [len(pts)]
+    for s, e in zip(rings, ends):
+        ring = pts[s:e]
+        if ring and ring[0] != ring[-1]:
+            ring = ring + [ring[0]]
+        out_rings.append(len(out_pts))
+        out_pts.extend(ring)
+    flat = [c for p in out_pts for c in p]
+    return flat, out_rings

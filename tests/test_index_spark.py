@@ -1,0 +1,189 @@
+"""End-to-end engine tests: SpatialIndex through a real local SparkSession,
+differentially checked against the nested-loop oracle (the reference's
+test strategy, /root/reference/src/proptests.rs:109-144)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from spatialjoin.geom import LINE, LINESTRING, POINT, POLYGON, RECT, TRIANGLE, GeomBatch
+from spatialjoin.index import SpatialIndex
+from spatialjoin.oracle import slow_prox_map, slow_spatial_join
+from spatialjoin.sparkutil import geoms_to_df
+
+
+def gb(rows):
+    kinds = [r[0] for r in rows]
+    coords = [r[1] for r in rows]
+    rings = [r[2] if len(r) > 2 else None for r in rows]
+    return GeomBatch.from_lists(kinds, coords, rings)
+
+
+def run_join(spark, small_rows, big_rows, how, **kw):
+    small = geoms_to_df(spark, small_rows)
+    big = geoms_to_df(spark, big_rows)
+    idx = SpatialIndex.build(spark, small, **kw)
+    out = idx.spatial_join(big, how=how).collect()
+    idx.unpersist()
+    return sorted((r.big_id, r.small_id) for r in out)
+
+
+def run_prox(spark, small_rows, big_rows, max_distance, **kw):
+    small = geoms_to_df(spark, small_rows)
+    big = geoms_to_df(spark, big_rows)
+    idx = SpatialIndex.build(spark, small, max_distance=max_distance, **kw)
+    out = idx.proximity_map(big).collect()
+    idx.unpersist()
+    return sorted((r.big_id, r.small_id, r.distance) for r in out)
+
+
+# -- pinned unit cases through the full engine (src/lib.rs:464-526) ----------
+
+
+def test_simple_index_self(spark):
+    rows = [(POINT, [1.0, 1.0])]
+    assert run_prox(spark, rows, rows, 4.0) == [(0, 0, 0.0)]
+
+
+def test_self_spatial_join_pair(spark):
+    pts = [(POINT, [1.0, 1.0]), (POINT, [22.0, 22.0])]
+    assert run_join(spark, pts, pts, "intersects") == [(0, 0), (1, 1)]
+
+
+def test_simple_index_some_other(spark):
+    assert run_prox(spark, [(POINT, [1.0, 1.0])], [(POINT, [2.0, 1.0])], 4.0) == [(0, 0, 1.0)]
+
+
+def test_simple_index_none(spark):
+    assert run_prox(spark, [(POINT, [1.0, 1.0])], [(POINT, [2.0, 1.0])], 0.5) == []
+
+
+def test_contains_and_within(spark):
+    small = [(RECT, [-1.0, -1.0, 1.0, 1.0])]
+    big = [(RECT, [-0.5, -0.5, 0.5, 0.5])]
+    assert run_join(spark, small, big, "contains") == [(0, 0)]
+    assert run_join(spark, small, big, "within") == []
+    assert run_join(spark, big, small, "within") == [(0, 0)]
+
+
+def test_with_geos_roundtrip(spark):
+    small = geoms_to_df(spark, [(RECT, [-1.0, -1.0, 1.0, 1.0])])
+    big = geoms_to_df(spark, [(POINT, [0.25, 0.5])])
+    idx = SpatialIndex.build(spark, small)
+    # 'contains' = small contains big (src/index.rs:505-533)
+    rows = idx.spatial_join(big, how="contains", with_geos=True).collect()
+    idx.unpersist()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.b_kind == POINT and list(r.b_coords) == [0.25, 0.5]
+    assert r.s_kind == RECT and list(r.s_coords) == [-1.0, -1.0, 1.0, 1.0]
+
+
+# -- validation surfaces through Spark ----------------------------------------
+
+
+def test_validation_raises_through_spark(spark):
+    bad = geoms_to_df(spark, [(POINT, [float("nan"), 0.0])])
+    small = geoms_to_df(spark, [(POINT, [0.0, 0.0])])
+    idx = SpatialIndex.build(spark, small)
+    with pytest.raises(Exception, match="non-finite"):
+        idx.spatial_join(bad).collect()
+    idx.unpersist()
+
+
+def test_bad_max_distance_rejected(spark):
+    small = geoms_to_df(spark, [(POINT, [0.0, 0.0])])
+    from spatialjoin.geom import BadMaxDistance
+
+    with pytest.raises(BadMaxDistance):
+        SpatialIndex.build(spark, small, max_distance=-2.0)
+
+
+# -- differential: engine == oracle on random mixed corpora ------------------
+
+
+def _random_rows(rng, n):
+    rows = []
+    for _ in range(n):
+        k = rng.choice([POINT, LINE, LINESTRING, POLYGON, RECT, TRIANGLE])
+        c = lambda: rng.uniform(-1.0, 1.0)
+        if k == POINT:
+            rows.append((POINT, [c(), c()]))
+        elif k == LINE:
+            rows.append((LINE, [c(), c(), c(), c()]))
+        elif k == LINESTRING:
+            m = rng.randint(2, 8)
+            rows.append((LINESTRING, [c() for _ in range(2 * m)]))
+        elif k == RECT:
+            x1, y1, x2, y2 = c(), c(), c(), c()
+            rows.append((RECT, [min(x1, x2), min(y1, y2), max(x1, x2), max(y1, y2)]))
+        elif k == TRIANGLE:
+            rows.append((TRIANGLE, [c() for _ in range(6)]))
+        else:
+            nv = rng.randint(3, 9)
+            r = rng.uniform(0.05, 0.5)
+            cx, cy = c(), c()
+            pts = []
+            for i in range(nv):
+                a = 2 * math.pi * i / nv
+                pts += [cx + r * math.cos(a), cy + r * math.sin(a)]
+            rows.append((POLYGON, pts, [0]))
+    return rows
+
+
+@pytest.mark.parametrize("seed,how", [(1, "intersects"), (2, "contains"), (3, "within"), (4, "intersects")])
+def test_join_matches_oracle(spark, seed, how):
+    rng = random.Random(seed)
+    small_rows = _random_rows(rng, 40)
+    big_rows = _random_rows(rng, 60)
+    want = slow_spatial_join(gb(small_rows), gb(big_rows), how)
+    got = run_join(spark, small_rows, big_rows, how)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed,max_d", [(5, 0.0), (6, 0.3), (7, 1.5)])
+def test_prox_matches_oracle(spark, seed, max_d):
+    rng = random.Random(seed)
+    small_rows = _random_rows(rng, 30)
+    big_rows = _random_rows(rng, 40)
+    want = slow_prox_map(gb(small_rows), gb(big_rows), max_d)
+    got = run_prox(spark, small_rows, big_rows, max_d)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2]
+        assert math.isclose(g[2], w[2], rel_tol=1e-12, abs_tol=1e-15)
+
+
+def test_resolution_invariance(spark):
+    """The same join at different grid resolutions must give identical
+    results (covering is a filter, refine decides)."""
+    rng = random.Random(11)
+    small_rows = _random_rows(rng, 25)
+    big_rows = _random_rows(rng, 25)
+    base = run_join(spark, small_rows, big_rows, "intersects", resolution=2,
+                    extent=(-2.0, -2.0, 2.0, 2.0))
+    for res in (4, 6):
+        got = run_join(spark, small_rows, big_rows, "intersects", resolution=res,
+                       extent=(-2.0, -2.0, 2.0, 2.0))
+        assert got == base
+
+
+def test_broadcast_and_shuffle_agree(spark):
+    rng = random.Random(12)
+    small_rows = _random_rows(rng, 20)
+    big_rows = _random_rows(rng, 30)
+    a = run_join(spark, small_rows, big_rows, "intersects", broadcast=True)
+    b = run_join(spark, small_rows, big_rows, "intersects", broadcast=False)
+    assert a == b
+
+
+def test_probe_outside_extent_is_safe(spark):
+    """Probe-side geometry outside the index extent must not match
+    spuriously nor crash (it clamps into edge cells; refine rejects)."""
+    small = [(RECT, [0.0, 0.0, 1.0, 1.0])]
+    big = [(POINT, [50.0, 50.0]), (POINT, [0.5, 0.5])]
+    assert run_join(spark, small, big, "contains") == [(1, 0)]
