@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline engine queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Also usable for the two-parallelism scaling evidence:
+    SPARK_GRAFT_CPUS=8 python bench.py
+    SPARK_GRAFT_CPUS=32 python bench.py
+(see bench/scaling.py which automates it and writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spatialjoin import queries as Q  # noqa: E402
+from spatialjoin.sparkutil import get_spark  # noqa: E402
+
+# headline suite: PIP (quad + rect), big rect-rect join, proximity,
+# kNN, tile-assign — the north rule's operator set
+BENCH_QUERIES = [
+    "pip_quad_contains",
+    "pip_rect_contains",
+    "rects_intersect",
+    "prox_points",
+    "knn_points",
+    "tile_assign",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(cpus=cpus, app="spatialjoin-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        # warm the JVM + python workers once (tiny run, not timed)
+        Q.QUERIES["pip_quad_contains"](spark, sf_dir.replace("sf0.1", "sf0.001")
+                                       if "sf0.1" in sf_dir else sf_dir).count()
+        per_query: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        total = 0.0
+        total_rows = 0
+        for name in BENCH_QUERIES:
+            fn = Q.QUERIES[name]
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            per_query[name] = round(dt, 4)
+            rows[name] = n
+            total += dt
+            total_rows += n
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": "spatialjoin_suite_wall",
+                    "value": round(total, 4),
+                    "unit": "sec",
+                    "queries": per_query,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "rows": rows,
+                    "rows_per_sec": round(total_rows / total, 1) if total else None,
+                    "cpus": cpus,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Distributed kNN join via expanding k-ring cell search.
+
+North-rule addition (BASELINE.json): the reference crate only supports
+distance-THRESHOLD joins (proximity_map, src/index.rs:422-447); kNN is
+built on the same cell grid + kernels:
+
+round r:  candidates = big covering expanded by Chebyshev ring r
+          (pure-JVM sequence/explode of dx/dy offsets) equi-joined to
+          the small cell index, refined to exact distances (kernels),
+          then windowed top-k per probe with deterministic tie-break
+          (distance, small_id).
+done:     a probe is finished when it has >= k neighbors AND its k-th
+          distance <= r * min(cell_w, cell_h): any geometry not yet a
+          candidate has every covered cell at Chebyshev cell-distance
+          > r from the probe's covering, hence Euclidean distance
+          >= r * min(cell_w, cell_h) — it cannot beat the current k-th.
+loop:     unfinished probes escalate with ring *= 4 (driver-side loop,
+          anti-joining finished probes); terminates when the ring spans
+          the grid.
+
+Output: DF[big_id, small_id, distance, rank] with rank 1..k
+(row_number — exactly k rows per probe when the small side has >= k
+rows, fewer otherwise). Deterministic regardless of parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import kernels
+from .geom import GeomBatch
+from .grid import Grid
+from .index import SpatialIndex, _build_batches, _prefixed, with_bbox, with_cells, validate_geoms
+
+
+def _ring_expand(df: DataFrame, r: int, n: int) -> DataFrame:
+    """Expand each (cx, cy) covering cell by Chebyshev ring r — JVM only."""
+    if r <= 0:
+        return df.withColumn(
+            "cell_r",
+            F.col("cell"),
+        ).drop("cell").withColumnRenamed("cell_r", "cell")
+    df = df.withColumn("dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+    df = df.withColumn("dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+    df = df.withColumn("ncx", F.col("cx") + F.col("dx")).withColumn("ncy", F.col("cy") + F.col("dy"))
+    df = df.where((F.col("ncx") >= 0) & (F.col("ncx") < n) & (F.col("ncy") >= 0) & (F.col("ncy") < n))
+    return df.drop("cell", "dx", "dy")
+
+
+def knn_join(
+    spark: SparkSession,
+    small_df: DataFrame,
+    big_df: DataFrame,
+    k: int,
+    extent=None,
+    resolution: int | None = None,
+    broadcast: bool | str = "auto",
+    validate: bool = True,
+    initial_ring: int | None = None,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """k nearest small geometries for every big geometry."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    idx = SpatialIndex.build(
+        spark, small_df, max_distance=0.0, extent=extent, resolution=resolution,
+        broadcast=broadcast, validate=validate,
+    )
+    if initial_ring is None:
+        # size ring 0 so the expected candidate count per probe is ~2k:
+        # ring r scans (2r+1)^2 cells at density n_small / 4^res
+        n_cells = float(4 ** idx.resolution)
+        n_small = idx.small_cells.count()  # cached; cheap
+        density = max(n_small / n_cells, 1e-12)
+        initial_ring = int(np.clip(np.ceil((np.sqrt(2.0 * k / density) - 1.0) / 2.0), 1, 1 << idx.resolution))
+    try:
+        return _knn_with_index(spark, idx, big_df, k, validate, initial_ring, max_rounds)
+    finally:
+        pass  # caller may still consume the (lazy) result; index stays cached
+
+
+def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring, max_rounds):
+    grid, res = idx.grid, idx.resolution
+    n = 1 << res
+    cw, ch = grid.cell_size(res)
+    min_dim = min(cw, ch)
+    if validate:
+        validate_geoms(big_df)
+    b = _prefixed(big_df, "b", "big_id")
+    b = with_bbox(b, "b", buffer=0.0)
+    b_base = b.persist()
+
+    small = idx.small_cells
+    # the small index carries cx implicitly in the cell id; decode for ring math
+    out_schema = T.StructType(
+        [
+            T.StructField("big_id", T.LongType(), False),
+            T.StructField("small_id", T.LongType(), False),
+            T.StructField("distance", T.DoubleType(), False),
+        ]
+    )
+
+    def refine(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            A, B = _build_batches(pdf)
+            i = np.arange(len(pdf), dtype=np.int64)
+            d = kernels.distance(A, i, B, i)
+            out = pdf.loc[:, ["big_id", "small_id"]].copy()
+            out["distance"] = d
+            yield out
+
+    results = []
+    pending = b_base
+    r = initial_ring
+    rounds = 0
+    while True:
+        rounds += 1
+        probe = with_cells(pending, "b", grid, res, keep_cxy=True)
+        probe = _ring_expand(probe, r, n)
+        if r > 0:
+            probe = probe.withColumn(
+                "cell",
+                F.lit(res << 58).cast("long")
+                .bitwiseOR(F.shiftleft(F.col("ncx"), 29))
+                .bitwiseOR(F.col("ncy")),
+            ).drop("ncx", "ncy", "cx", "cy")
+        else:
+            probe = probe.drop("cx", "cy")
+        sm = F.broadcast(small) if idx.broadcast_small else small
+        cand = probe.join(sm, on="cell", how="inner")
+        # a pair may appear via several (probe-cell, ring-offset) paths;
+        # dedupe on ids before the (idempotent) refine to cut UDF work
+        cand = cand.dropDuplicates(["big_id", "small_id"])
+        dists = cand.mapInPandas(refine, out_schema)
+        w = Window.partitionBy("big_id").orderBy(F.col("distance").asc(), F.col("small_id").asc())
+        topk = (
+            dists.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        ).persist()  # reused by the done-check action AND the final union
+        covered = float(r) * min_dim
+        ring_spans_grid = r >= n
+        if ring_spans_grid or rounds >= max_rounds:
+            results.append(topk)
+            break
+        # a probe is done if it found k neighbors with kth dist <= covered
+        per_probe = topk.groupBy("big_id").agg(
+            F.count(F.lit(1)).alias("cnt"), F.max("distance").alias("kth")
+        )
+        # strict <: an unseen geometry at distance exactly `covered` with a
+        # smaller id could otherwise displace the current k-th on tie-break
+        done_ids = per_probe.where(
+            (F.col("cnt") >= k) & (F.col("kth") < F.lit(covered))
+        ).select("big_id")
+        done_rows = topk.join(done_ids, on="big_id", how="left_semi")
+        results.append(done_rows)
+        pending_next = pending.join(done_ids, on="big_id", how="left_anti").persist()
+        n_pending = pending_next.count()
+        pending.unpersist()
+        pending = pending_next
+        if n_pending == 0:
+            break
+        r *= 4
+    out = results[0]
+    for extra in results[1:]:
+        out = out.unionByName(extra)
+    return out

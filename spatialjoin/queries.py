@@ -1,0 +1,244 @@
+"""Engine queries over the driver's testdata tables + their DuckDB oracles.
+
+Geometry is DERIVED deterministically from the TPC-H-ish tables with
+integer-hash + IEEE-double arithmetic written as the SAME SQL expression
+text for Spark (selectExpr) and DuckDB (oracle), so coordinates are
+bit-identical in both engines and value-hash comparisons are exact.
+
+Every query runs through the real engine (SpatialIndex / knn_join /
+assign_tiles); the oracle re-derives the answer in pure ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index import SpatialIndex
+from .knn import knn_join
+from .tiles import assign_tiles
+
+# -- shared derivation expression text (Spark SQL == DuckDB SQL) --------------
+
+# NOTE: every fractional literal uses e-notation (1e6, 5e-1, ...): both
+# Spark 4 and DuckDB parse X.Y literals as DECIMAL but e-notation as
+# DOUBLE — decimal arithmetic would round differently than the numpy
+# kernels and break bit-exact oracle comparison.
+PX = "(({k} * 2654435761) % 1000000) / 1e6 * 20e0 - 10e0"
+PY = "(({k} * 40503) % 1000000) / 1e6 * 20e0 - 10e0"
+# rhombus half-sizes for supplier quads
+QA = "5e-1 + ({k} % 7) / 7e0 * 15e-1"
+QB = "5e-1 + ({k} % 11) / 11e0 * 15e-1"
+# rect half-sizes
+RA = "2e-2 + ({k} % 97) / 97e0 * 18e-2"
+RB = "2e-2 + ({k} % 89) / 89e0 * 18e-2"
+
+TILE_EXTENT = (-16.0, -16.0, 16.0, 16.0)
+TILE_ZOOM = 5
+
+
+def _points_df(spark, sf_dir, table, key) -> DataFrame:
+    px, py = PX.format(k=key), PY.format(k=key)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet").selectExpr(
+        f"{key} as id",
+        "0 as kind",
+        f"array({px}, {py}) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def _rects_df(spark, sf_dir, table, key, id_expr=None) -> DataFrame:
+    px, py = PX.format(k=key), PY.format(k=key)
+    ra, rb = RA.format(k=key), RB.format(k=key)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet").selectExpr(
+        f"{id_expr or key} as id",
+        "4 as kind",
+        f"array(({px}) - ({ra}), ({py}) - ({rb}), ({px}) + ({ra}), ({py}) + ({rb})) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def _quads_df(spark, sf_dir, table, key) -> DataFrame:
+    """CCW rhombus polygon (closed ring of 5 points)."""
+    px, py = PX.format(k=key), PY.format(k=key)
+    a, b = QA.format(k=key), QB.format(k=key)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet").selectExpr(
+        f"{key} as id",
+        "3 as kind",
+        f"array(({px}) + ({a}), ({py}), ({px}), ({py}) + ({b}), "
+        f"({px}) - ({a}), ({py}), ({px}), ({py}) - ({b}), ({px}) + ({a}), ({py})) as coords",
+        "array(0) as rings",
+    )
+
+
+LINEITEM_ID = "l_orderkey * 10 + l_linenumber"
+
+
+# -- queries (spark, sf_dir) -> DataFrame -------------------------------------
+
+
+def q_pip_quad_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join: supplier quads CONTAIN customer points."""
+    quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, quads, validate=False)
+    return idx.spatial_join(pts, how="contains", validate=False)
+
+
+def q_pip_rect_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-rect containment: part rects CONTAIN customer points."""
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, rects, validate=False)
+    return idx.spatial_join(pts, how="contains", validate=False)
+
+
+def q_rects_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rect-rect Intersects join: part rects vs lineitem rects."""
+    small = _rects_df(spark, sf_dir, "part", "p_partkey")
+    big = _rects_df(spark, sf_dir, "lineitem", "(l_orderkey * 10 + l_linenumber)",
+                    id_expr=LINEITEM_ID)
+    idx = SpatialIndex.build(spark, small, validate=False)
+    return idx.spatial_join(big, how="intersects", validate=False)
+
+
+def q_points_within_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'within' path: customer points (small) WITHIN supplier quads (big)."""
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    idx = SpatialIndex.build(spark, pts, validate=False)
+    return idx.spatial_join(quads, how="within", validate=False)
+
+
+def q_prox_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity map (inclusive epsilon join) with exact distances."""
+    sup = _points_df(spark, sf_dir, "supplier", "s_suppkey")
+    cust = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, sup, max_distance=2.0, validate=False)
+    return idx.proximity_map(cust, validate=False)
+
+
+def q_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 nearest part centers for every customer point."""
+    parts = _points_df(spark, sf_dir, "part", "p_partkey")
+    cust = _points_df(spark, sf_dir, "customer", "c_custkey")
+    out = knn_join(spark, parts, cust, k=3, validate=False)
+    return out.select("big_id", "small_id", "distance", "rank")
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile <-> vector assignment of part rects at zoom 5."""
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    out = assign_tiles(rects, zoom=TILE_ZOOM, extent=TILE_EXTENT, validate=False)
+    return out.select("id", "tx", "ty")
+
+
+# -- DuckDB oracles ------------------------------------------------------------
+
+
+def _oracle_pip_quads(small_within_big: bool) -> str:
+    px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    # CCW rhombus vertices: (cx+a,cy) (cx,cy+b) (cx-a,cy) (cx,cy-b);
+    # strict interior = all edge cross products > 0 (boundary-exclusive,
+    # matching the engine's geo-0.14 polygon containment)
+    if small_within_big:
+        big_id, small_id = "qds.s_suppkey", "pts.c_custkey"
+    else:
+        big_id, small_id = "pts.c_custkey", "qds.s_suppkey"
+    return f"""
+WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
+qds AS (SELECT s_suppkey, {px_s} AS cx, {py_s} AS cy, {a} AS a, {b} AS b FROM supplier)
+SELECT {big_id} AS big_id, {small_id} AS small_id
+FROM pts, qds
+WHERE ((cx) - (cx + a)) * (py - cy) - ((cy + b) - cy) * (px - (cx + a)) > 0
+  AND ((cx - a) - cx) * (py - (cy + b)) - (cy - (cy + b)) * (px - cx) > 0
+  AND (cx - (cx - a)) * (py - cy) - ((cy - b) - cy) * (px - (cx - a)) > 0
+  AND ((cx + a) - cx) * (py - (cy - b)) - (cy - (cy - b)) * (px - cx) > 0
+""".strip()
+
+
+def oracle_sql() -> dict[str, str]:
+    px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra_p, rb_p = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    lk = "(l_orderkey * 10 + l_linenumber)"
+    px_l, py_l = PX.format(k=lk), PY.format(k=lk)
+    ra_l, rb_l = RA.format(k=lk), RB.format(k=lk)
+
+    ts = (TILE_EXTENT[2] - TILE_EXTENT[0]) / (1 << TILE_ZOOM)
+    x0, y0 = TILE_EXTENT[0], TILE_EXTENT[1]
+    ts_sql, x0_sql, y0_sql = f"{ts:.17e}", f"{x0:.17e}", f"{y0:.17e}"
+    ncell = (1 << TILE_ZOOM) - 1
+
+    return {
+        "pip_quad_contains": _oracle_pip_quads(small_within_big=False),
+        "points_within_quads": _oracle_pip_quads(small_within_big=True),
+        "pip_rect_contains": f"""
+WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
+rcs AS (SELECT p_partkey,
+               ({px_p}) - ({ra_p}) AS xmin, ({py_p}) - ({rb_p}) AS ymin,
+               ({px_p}) + ({ra_p}) AS xmax, ({py_p}) + ({rb_p}) AS ymax FROM part)
+SELECT pts.c_custkey AS big_id, rcs.p_partkey AS small_id
+FROM pts, rcs
+WHERE px >= xmin AND px <= xmax AND py >= ymin AND py <= ymax
+""".strip(),
+        "rects_intersect": f"""
+WITH a AS (SELECT p_partkey,
+               ({px_p}) - ({ra_p}) AS xmin, ({py_p}) - ({rb_p}) AS ymin,
+               ({px_p}) + ({ra_p}) AS xmax, ({py_p}) + ({rb_p}) AS ymax FROM part),
+b AS (SELECT {lk} AS lid,
+               ({px_l}) - ({ra_l}) AS xmin, ({py_l}) - ({rb_l}) AS ymin,
+               ({px_l}) + ({ra_l}) AS xmax, ({py_l}) + ({rb_l}) AS ymax FROM lineitem)
+SELECT b.lid AS big_id, a.p_partkey AS small_id
+FROM a JOIN b
+  ON a.xmin <= b.xmax AND a.xmax >= b.xmin AND a.ymin <= b.ymax AND a.ymax >= b.ymin
+""".strip(),
+        "prox_points": f"""
+WITH sup AS (SELECT s_suppkey, {px_s} AS px, {py_s} AS py FROM supplier),
+cst AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer)
+SELECT cst.c_custkey AS big_id, sup.s_suppkey AS small_id,
+       sqrt((sup.px - cst.px) * (sup.px - cst.px) + (sup.py - cst.py) * (sup.py - cst.py)) AS distance
+FROM sup, cst
+WHERE sqrt((sup.px - cst.px) * (sup.px - cst.px) + (sup.py - cst.py) * (sup.py - cst.py)) <= 2e0
+""".strip(),
+        "knn_points": f"""
+WITH prt AS (SELECT p_partkey, {px_p} AS px, {py_p} AS py FROM part),
+cst AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer)
+SELECT c_custkey AS big_id, p_partkey AS small_id,
+       sqrt((prt.px - cst.px) * (prt.px - cst.px) + (prt.py - cst.py) * (prt.py - cst.py)) AS distance,
+       CAST(row_number() OVER (
+           PARTITION BY c_custkey
+           ORDER BY sqrt((prt.px - cst.px) * (prt.px - cst.px) + (prt.py - cst.py) * (prt.py - cst.py)) ASC,
+                    p_partkey ASC
+       ) AS INTEGER) AS rank
+FROM prt, cst
+QUALIFY rank <= 3
+""".strip(),
+        "tile_assign": f"""
+WITH rcs AS (SELECT p_partkey,
+               greatest(0, least({ncell}, CAST(floor(((({px_p}) - ({ra_p})) - ({x0_sql})) / {ts_sql}) AS BIGINT))) AS cx0,
+               greatest(0, least({ncell}, CAST(floor(((({px_p}) + ({ra_p})) - ({x0_sql})) / {ts_sql}) AS BIGINT))) AS cx1,
+               greatest(0, least({ncell}, CAST(floor(((({py_p}) - ({rb_p})) - ({y0_sql})) / {ts_sql}) AS BIGINT))) AS cy0,
+               greatest(0, least({ncell}, CAST(floor(((({py_p}) + ({rb_p})) - ({y0_sql})) / {ts_sql}) AS BIGINT))) AS cy1
+        FROM part),
+ser AS (SELECT unnest(generate_series(0, {ncell})) AS i)
+SELECT p_partkey AS id, sx.i AS tx, sy.i AS ty
+FROM rcs
+JOIN ser sx ON sx.i >= cx0 AND sx.i <= cx1
+JOIN ser sy ON sy.i >= cy0 AND sy.i <= cy1
+""".strip(),
+    }
+
+
+QUERIES = {
+    "pip_quad_contains": q_pip_quad_contains,
+    "points_within_quads": q_points_within_quads,
+    "pip_rect_contains": q_pip_rect_contains,
+    "rects_intersect": q_rects_intersect,
+    "prox_points": q_prox_points,
+    "knn_points": q_knn_points,
+    "tile_assign": q_tile_assign,
+}

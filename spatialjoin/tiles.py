@@ -1,0 +1,156 @@
+"""Raster tiling: tile<->vector assignment and tile pixel cutting.
+
+North-rule addition. A zoom-z tiling of an extent is exactly the cell
+grid at resolution z (grid.py), so tile<->geometry assignment is a
+spatial join of tile RECTs against geometries and reuses the Rect-kind
+kernels (the reference's Rect semantics, relates_impl.rs:147-234):
+cover the geometry bbox with tiles (JVM sequence/explode), then refine
+each (tile, geometry) candidate with the exact rect-intersects kernel.
+
+``cut_tiles`` goes one step further for the image table: it decodes the
+image payload (real numpy codecs from images.py), maps the pixel grid
+onto the footprint bbox, and emits the pixel slab overlapping each
+tile — the raster side of raster<->vector assignment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import kernels
+from .geom import RECT, GeomBatch
+from .grid import Grid
+from .index import _prefixed, with_bbox, with_cells, validate_geoms
+
+
+def assign_tiles(geoms_df: DataFrame, zoom: int, extent, validate: bool = True) -> DataFrame:
+    """DF[id, tile, tx, ty] — tiles whose closed rect intersects the
+    geometry (Intersects semantics, matching the engine's spatial join
+    with a Rect small side)."""
+    grid = Grid(extent)
+    if validate:
+        validate_geoms(geoms_df)
+    g = _prefixed(geoms_df, "b", "id")
+    g = with_bbox(g, "b", buffer=0.0)
+    g = with_cells(g, "b", grid, zoom, keep_cxy=True)
+    tw, th = grid.cell_size(zoom)
+    x0, y0 = grid.x0, grid.y0
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("tile", T.LongType(), False),
+            T.StructField("tx", T.LongType(), False),
+            T.StructField("ty", T.LongType(), False),
+        ]
+    )
+
+    def refine(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            m = len(pdf)
+            B = GeomBatch.from_columns(
+                pdf["b_kind"].to_numpy(), pdf["b_coords"].to_list(), pdf["b_rings"].to_list()
+            )
+            tx = pdf["cx"].to_numpy()
+            ty = pdf["cy"].to_numpy()
+            txmin = x0 + tx * tw
+            tymin = y0 + ty * th
+            tile_coords = np.stack([txmin, tymin, txmin + tw, tymin + th], axis=1)
+            A = GeomBatch(
+                kind=np.full(m, RECT, dtype=np.int8),
+                offs=np.arange(0, 2 * m + 1, 2, dtype=np.int64),
+                xs=tile_coords[:, [0, 2]].ravel(),
+                ys=tile_coords[:, [1, 3]].ravel(),
+                ring_counts=np.zeros(m, dtype=np.int32),
+                ring_starts=np.zeros(0, dtype=np.int64),
+            )
+            i = np.arange(m, dtype=np.int64)
+            mask = kernels.intersects(A, i, B, i)
+            out = pdf.loc[mask, ["id", "cell", "cx", "cy"]]
+            out.columns = ["id", "tile", "tx", "ty"]
+            yield out
+
+    return g.mapInPandas(refine, schema)
+
+
+TILE_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("tile", T.LongType(), False),
+        T.StructField("tx", T.LongType(), False),
+        T.StructField("ty", T.LongType(), False),
+        T.StructField("px_off_x", T.IntegerType(), False),
+        T.StructField("px_off_y", T.IntegerType(), False),
+        T.StructField("tile_w", T.IntegerType(), False),
+        T.StructField("tile_h", T.IntegerType(), False),
+        T.StructField("tile_bytes", T.BinaryType(), False),
+    ]
+)
+
+
+def cut_tiles(images_df: DataFrame, zoom: int, extent, footprint_fn=None) -> DataFrame:
+    """Slice each image's decoded pixels into zoom-z tile slabs.
+
+    The image's pixel grid is mapped onto its footprint bbox (row 0 at
+    the top / max-y edge, like raster conventions). Output rows carry
+    the pixel slab (as raw float32 RGB bytes) overlapping each tile.
+    """
+    from .images import decode, footprints
+
+    grid = Grid(extent)
+    tw, th = grid.cell_size(zoom)
+    x0g, y0g = grid.x0, grid.y0
+    fps = (footprint_fn or footprints)(images_df, extent)
+    f = _prefixed(fps, "b", "fid")
+    f = with_bbox(f, "b", buffer=0.0)
+    joined = images_df.withColumn(
+        "fid", F.substring("image_id", 4, 12).cast("long")
+    ).join(f.select("fid", "b_xmin", "b_ymin", "b_xmax", "b_ymax"), on="fid")
+    j = with_cells(
+        joined.withColumnRenamed("b_xmin", "b_xmin").select(
+            "image_id", "bytes", "w", "h", "fmt",
+            "b_xmin", "b_ymin", "b_xmax", "b_ymax",
+        ),
+        "b", grid, zoom, keep_cxy=True,
+    )
+
+    def slab(iterator):
+        for pdf in iterator:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                px = decode(t.bytes, t.fmt, t.w, t.h)
+                gx0, gy0, gx1, gy1 = t.b_xmin, t.b_ymin, t.b_xmax, t.b_ymax
+                if gx1 <= gx0 or gy1 <= gy0:
+                    continue
+                txmin = x0g + t.cx * tw
+                tymin = y0g + t.cy * th
+                # geographic overlap of tile and footprint bbox
+                ox0, ox1 = max(gx0, txmin), min(gx1, txmin + tw)
+                oy0, oy1 = max(gy0, tymin), min(gy1, tymin + th)
+                if ox1 <= ox0 or oy1 <= oy0:
+                    continue
+                # map to pixel coords (row 0 = top = max y)
+                c0 = int(np.floor((ox0 - gx0) / (gx1 - gx0) * t.w))
+                c1 = int(np.ceil((ox1 - gx0) / (gx1 - gx0) * t.w))
+                r0 = int(np.floor((gy1 - oy1) / (gy1 - gy0) * t.h))
+                r1 = int(np.ceil((gy1 - oy0) / (gy1 - gy0) * t.h))
+                c0, c1 = max(0, c0), min(t.w, c1)
+                r0, r1 = max(0, r0), min(t.h, r1)
+                if c1 <= c0 or r1 <= r0:
+                    continue
+                cut = np.ascontiguousarray(px[r0:r1, c0:c1, :], dtype=np.float32)
+                rows.append(
+                    (
+                        t.image_id, int(t.cell), int(t.cx), int(t.cy),
+                        c0, r0, c1 - c0, r1 - r0, cut.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_PIXEL_SCHEMA.fields])
+
+    return j.mapInPandas(slab, TILE_PIXEL_SCHEMA)

@@ -1,0 +1,73 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry at sf0.001 and compare row-count + sorted values against its
+oracle_sql() via DuckDB."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(float(v) if isinstance(v, float) else v for v in r))
+    return sorted(out)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"big_id", "small_id"}
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    sdf = q(spark, SF_DIR)
+    got_cols = sdf.columns
+    got = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        assert len(got) >= 0
+        return
+    ora = ddb.execute(sql)
+    ora_cols = [d[0] for d in ora.description]
+    assert sorted(got_cols) == sorted(ora_cols), (got_cols, ora_cols)
+    want = ora.fetchall()
+    # align column order to spark's
+    perm = [ora_cols.index(c) for c in got_cols]
+    want = [tuple(r[i] for i in perm) for r in want]
+    assert len(got) == len(want), f"{name}: {len(got)} vs oracle {len(want)}"
+    g, w = _norm(got), _norm(want)
+    for a, b in zip(g, w):
+        for x, y in zip(a, b):
+            if isinstance(x, float):
+                assert x == y or math.isclose(x, y, rel_tol=0, abs_tol=0), (name, a, b)
+            else:
+                assert x == y, (name, a, b)

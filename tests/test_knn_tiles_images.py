@@ -1,0 +1,170 @@
+"""kNN join, tile assignment, and the synthetic image table."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from spatialjoin.geom import POINT, POLYGON, RECT, GeomBatch
+from spatialjoin import kernels
+from spatialjoin.images import decode, footprints, caption_points, phash64, psnr, synth_images, _pixels_for, quantize_q8
+from spatialjoin.knn import knn_join
+from spatialjoin.sparkutil import geoms_to_df
+from spatialjoin.tiles import assign_tiles, cut_tiles
+
+
+def _brute_knn(small_rows, big_rows, k):
+    """Independent oracle: exact distances + (distance, small_id) sort."""
+    A = GeomBatch.from_lists([r[0] for r in small_rows], [r[1] for r in small_rows],
+                             [r[2] if len(r) > 2 else None for r in small_rows])
+    B = GeomBatch.from_lists([r[0] for r in big_rows], [r[1] for r in big_rows],
+                             [r[2] if len(r) > 2 else None for r in big_rows])
+    out = []
+    ns, nb = len(A), len(B)
+    ai = np.repeat(np.arange(ns), nb)
+    bi = np.tile(np.arange(nb), ns)
+    d = kernels.distance(A, ai, B, bi)
+    for b in range(nb):
+        cand = sorted((d[s * nb + b], s) for s in range(ns))[:k]
+        out += [(b, s, dist, r + 1) for r, (dist, s) in enumerate(cand)]
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed,k", [(21, 1), (22, 3), (23, 7)])
+def test_knn_matches_brute_force(spark, seed, k):
+    rng = random.Random(seed)
+    small_rows = [(POINT, [rng.uniform(-5, 5), rng.uniform(-5, 5)]) for _ in range(50)]
+    big_rows = [(POINT, [rng.uniform(-5, 5), rng.uniform(-5, 5)]) for _ in range(30)]
+    got = knn_join(spark, geoms_to_df(spark, small_rows), geoms_to_df(spark, big_rows), k=k)
+    got = sorted((r.big_id, r.small_id, r.distance, r.rank) for r in got.collect())
+    want = _brute_knn(small_rows, big_rows, k)
+    assert [(g[0], g[1], g[3]) for g in got] == [(w[0], w[1], w[3]) for w in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g[2], w[2], rel_tol=1e-12, abs_tol=1e-15)
+
+
+def test_knn_mixed_kinds(spark):
+    rng = random.Random(31)
+    small_rows = [(RECT, sorted([rng.uniform(-5, 5), rng.uniform(-5, 5)]) +
+                   [0, 0]) for _ in range(10)]
+    # build valid rects
+    small_rows = []
+    for _ in range(10):
+        x1, x2 = sorted((rng.uniform(-5, 5), rng.uniform(-5, 5)))
+        y1, y2 = sorted((rng.uniform(-5, 5), rng.uniform(-5, 5)))
+        small_rows.append((RECT, [x1, y1, x2, y2]))
+    big_rows = [(POINT, [rng.uniform(-5, 5), rng.uniform(-5, 5)]) for _ in range(12)]
+    got = knn_join(spark, geoms_to_df(spark, small_rows), geoms_to_df(spark, big_rows), k=2)
+    got = sorted((r.big_id, r.small_id, r.rank) for r in got.collect())
+    want = _brute_knn(small_rows, big_rows, 2)
+    assert got == [(w[0], w[1], w[3]) for w in want]
+
+
+def test_knn_k_larger_than_small_side(spark):
+    small_rows = [(POINT, [0.0, 0.0]), (POINT, [1.0, 0.0])]
+    big_rows = [(POINT, [0.2, 0.0])]
+    got = knn_join(spark, geoms_to_df(spark, small_rows), geoms_to_df(spark, big_rows), k=5)
+    rows = sorted((r.small_id, r.rank) for r in got.collect())
+    assert rows == [(0, 1), (1, 2)]
+
+
+# -- tiles --------------------------------------------------------------------
+
+
+def test_assign_tiles_rect_exact(spark):
+    # extent 16x16, zoom 2 -> 4x4 tiles of size 4x4
+    ext = (0.0, 0.0, 16.0, 16.0)
+    rows = [(RECT, [1.0, 1.0, 5.0, 5.0]), (POINT, [10.0, 10.0])]
+    df = geoms_to_df(spark, rows)
+    out = assign_tiles(df, zoom=2, extent=ext).collect()
+    got = sorted((r.id, r.tx, r.ty) for r in out)
+    # rect spans tiles (0,0),(0,1),(1,0),(1,1); point sits in tile (2,2)
+    assert got == [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1), (1, 2, 2)]
+
+
+def test_assign_tiles_polygon_refines(spark):
+    # thin diagonal triangle inside a 2x2-tile bbox: bbox covers 4 tiles
+    # but the shape misses none (it crosses all 4) vs a tiny one (1 tile)
+    ext = (0.0, 0.0, 8.0, 8.0)
+    # sliver hugging the bottom edge: bbox spans tiles (0,0)+(1,0) in x,
+    # stays below y=1 so it never reaches the upper tile row
+    rows = [(POLYGON, [0.5, 0.5, 7.5, 0.5, 7.5, 0.6], [0]),
+            (POLYGON, [0.5, 0.5, 1.0, 0.5, 1.0, 1.0], [0])]
+    df = geoms_to_df(spark, rows)
+    out = assign_tiles(df, zoom=1, extent=ext).collect()
+    got = sorted((r.id, r.tx, r.ty) for r in out)
+    assert [g for g in got if g[0] == 0] == [(0, 0, 0), (0, 1, 0)]
+    assert [g for g in got if g[0] == 1] == [(1, 0, 0)]
+
+
+# -- images -------------------------------------------------------------------
+
+
+def test_synth_images_deterministic_and_schema(spark):
+    df = synth_images(spark, 64)
+    rows = {r.image_id: r for r in df.collect()}
+    assert len(rows) == 64
+    df2 = synth_images(spark, 64, partitions=7)
+    rows2 = {r.image_id: r for r in df2.collect()}
+    for k in rows:
+        a, b = rows[k], rows2[k]
+        assert a.bytes == b.bytes and a.caption == b.caption and a.phash == b.phash
+
+
+def test_q8_psnr_above_40db(spark):
+    df = synth_images(spark, 120)
+    q8 = [r for r in df.collect() if r.fmt == "q8"]
+    assert q8, "expected some q8 rows"
+    for r in q8:
+        i = int(r.image_id[3:])
+        src = _pixels_for(i, r.w, r.h).astype(np.float64)
+        dec = decode(r.bytes, "q8", r.w, r.h)
+        assert psnr(src, dec) >= 40.0
+
+
+def test_caption_roundtrip_and_phash(spark):
+    df = synth_images(spark, 32)
+    for r in df.collect():
+        i = int(r.image_id[3:])
+        src = _pixels_for(i, r.w, r.h)
+        assert r.phash == phash64(src)
+        assert r.caption.startswith(f"caption of {r.image_id} at ")
+
+
+def test_footprint_point_join_images(spark):
+    """Flagship shape: caption points within their own footprint quads."""
+    from spatialjoin.index import SpatialIndex
+
+    imgs = synth_images(spark, 200).persist()
+    fp = footprints(imgs)
+    pts = caption_points(imgs)
+    idx = SpatialIndex.build(spark, fp)
+    out = idx.spatial_join(pts, how="contains").collect()
+    pairs = set((r.big_id, r.small_id) for r in out)
+    # every caption point lies at (or within 1e-6 of) its footprint center
+    for i in range(200):
+        assert (i, i) in pairs
+    idx.unpersist()
+    imgs.unpersist()
+
+
+def test_cut_tiles_pixels_match_source(spark):
+    imgs = synth_images(spark, 24).persist()
+    ext = (-10.0, -10.0, 10.0, 10.0)
+    out = cut_tiles(imgs, zoom=3, extent=ext).collect()
+    assert out, "expected tile cuts"
+    by_img = {}
+    for r in out:
+        by_img.setdefault(r.image_id, []).append(r)
+    src_rows = {r.image_id: r for r in imgs.collect()}
+    for image_id, cuts in by_img.items():
+        s = src_rows[image_id]
+        px = decode(s.bytes, s.fmt, s.w, s.h)
+        for c in cuts:
+            slab = np.frombuffer(c.tile_bytes, dtype=np.float32).reshape(c.tile_h, c.tile_w, 3)
+            want = px[c.px_off_y : c.px_off_y + c.tile_h, c.px_off_x : c.px_off_x + c.tile_w, :]
+            assert np.allclose(slab, want.astype(np.float32))
+    imgs.unpersist()
