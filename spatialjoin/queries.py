@@ -14,8 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .ann import oracle_ann_topk, q_ann_ivf, q_ann_lsh, q_ann_topk
 from .index import SpatialIndex
 from .knn import knn_join
+from .textops import TEXT_ORACLES, TEXT_QUERIES
 from .tiles import assign_tiles
 
 # -- shared derivation expression text (Spark SQL == DuckDB SQL) --------------
@@ -230,7 +232,28 @@ FROM rcs
 JOIN ser sx ON sx.i >= cx0 AND sx.i <= cx1
 JOIN ser sy ON sy.i >= cy0 AND sy.i <= cy1
 """.strip(),
+        "ann_topk": oracle_ann_topk(),
+        **TEXT_ORACLES,
     }
+
+
+def q_images_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline demo (rows-only check: binary payloads have
+    no SQL oracle): synth image table -> footprints + caption points ->
+    PIP join through the engine -> per-image tile counts at zoom 4."""
+    from .images import caption_points, footprints, synth_images
+
+    imgs = synth_images(spark, 512).persist()
+    fp = footprints(imgs)
+    pts = caption_points(imgs)
+    idx = SpatialIndex.build(spark, fp, validate=False)
+    pairs = idx.spatial_join(pts, how="contains", validate=False)
+    tiles = assign_tiles(fp, zoom=4, extent=(-16.0, -16.0, 16.0, 16.0), validate=False)
+    tile_counts = tiles.groupBy("id").agg(F.count(F.lit(1)).alias("n_tiles"))
+    return (
+        pairs.join(tile_counts, pairs.small_id == tile_counts.id)
+        .select("big_id", "small_id", "n_tiles")
+    )
 
 
 QUERIES = {
@@ -241,4 +264,9 @@ QUERIES = {
     "prox_points": q_prox_points,
     "knn_points": q_knn_points,
     "tile_assign": q_tile_assign,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "images_pipeline": q_images_pipeline,
+    **TEXT_QUERIES,
 }

@@ -1,0 +1,389 @@
+"""Training-data text ops over the documents table.
+
+Everything is expressed with built-in JVM-side column functions (split,
+explode, md5, regexp_count, window aggregates) — no Python UDFs — and
+each op has an exact DuckDB oracle: all intermediate values are
+integers/strings (md5 hex, counts) or doubles derived from integers, so
+the comparisons are bit-exact.
+
+Ops (SURVEY.md §2.2 "training-data pipeline" additions per the task):
+  exact_dedup        hash-groupBy duplicate clustering (md5 of text)
+  ngram_jaccard      exact 3-word-shingle Jaccard similarity join
+  minhash_lsh        MinHash signatures (min of seeded md5 over
+                     shingles) -> banded LSH candidates -> verified
+  simhash            16-bit SimHash from token md5 nibbles; banded
+                     candidate pairs within Hamming distance
+  doc_stats          token counts / quality scoring (regexp built-ins)
+  lang_guess         marker-word language heuristic
+  fingerprint        document fingerprint = min shingle hash
+
+Scale notes (100 TB): the shingle self-joins shuffle on shingle text —
+at scale, frequent-shingle capping (drop shingles with doc-frequency
+above a threshold) bounds the blowup; minhash_lsh is the scale path
+(bounded signature width), ngram_jaccard is the exact small-scale
+oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_HASHES = 8
+N_BANDS = 4  # 2 signatures per band
+JACCARD_T = "8e-1"
+SIMHASH_HAMMING = 3
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shingles(docs: DataFrame, id_col="doc_id") -> DataFrame:
+    """DISTINCT 3-word shingles per doc — pure JVM."""
+    ws = F.split(F.trim(F.col("text")), " ")
+    # NOTE: Spark's sequence(1, 0) yields [1, 0] (auto step -1), unlike
+    # DuckDB's empty generate_series — guard short docs explicitly
+    idxs = F.when(F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(sh).alias("s"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM toks, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+)
+""".strip()
+
+
+# -- exact dedup ---------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text"))
+    return docs.select(
+        F.col("doc_id").alias("doc_id"),
+        F.min("doc_id").over(w).alias("keeper_id"),
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id FROM documents
+""".strip()
+
+
+# -- exact n-gram jaccard join ---------------------------------------------------
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = _shingles(docs).persist()
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    out = (
+        inter.join(ca, "d1").join(cb, "d2")
+        .withColumn("jaccard", F.expr("c * 1e0 / (na + nb - c)"))
+        .where(F.expr(f"c * 1e0 / (na + nb - c) >= {JACCARD_T}"))
+        .select("d1", "d2", "jaccard")
+    )
+    return out
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_SQL},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, c * 1e0 / (ca.n + cb.n - c) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+WHERE c * 1e0 / (ca.n + cb.n - c) >= {JACCARD_T}
+""".strip()
+
+
+# -- minhash LSH -----------------------------------------------------------------
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, verified with exact jaccard.
+    Signature h_i(doc) = min over shingles of md5('<i>|' || shingle);
+    min over lowercase hex strings is identical in any engine."""
+    docs = _docs(spark, sf_dir)
+    sh = _shingles(docs).persist()
+    seeded = sh.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"), "s"
+    ).withColumn("m", F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("s"))))
+    sig = seeded.groupBy("doc_id").agg(
+        *[F.min(F.when(F.col("seed") == i, F.col("m"))).alias(f"h{i}") for i in range(N_HASHES)]
+    )
+    bands = None
+    for b in range(N_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b2 = sh.alias("b")
+    inter = (
+        cand.join(a, F.col("a.doc_id") == F.col("d1"))
+        .join(b2, (F.col("b.doc_id") == F.col("d2")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "d1").join(cb, "d2")
+        .withColumn("jaccard", F.expr("c * 1e0 / (na + nb - c)"))
+        .where(F.expr(f"c * 1e0 / (na + nb - c) >= {JACCARD_T}"))
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def _oracle_minhash() -> str:
+    sig_cols = ",\n       ".join(
+        f"min(CASE WHEN seed = {i} THEN m END) AS h{i}" for i in range(N_HASHES)
+    )
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+seeded AS (
+  SELECT doc_id, t.seed, md5(CAST(t.seed AS VARCHAR) || '|' || s) AS m
+  FROM sh, unnest(generate_series(0, {N_HASHES - 1})) AS t(seed)
+),
+sig AS (SELECT doc_id, {sig_cols} FROM seeded GROUP BY doc_id),
+bands AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT d1, d2, count(*) AS c
+  FROM cand JOIN sh a ON a.doc_id = d1 JOIN sh b ON b.doc_id = d2 AND a.s = b.s
+  GROUP BY 1, 2
+)
+SELECT d1, d2, c * 1e0 / (ca.n + cb.n - c) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+WHERE c * 1e0 / (ca.n + cb.n - c) >= {JACCARD_T}
+""".strip()
+
+
+# -- simhash ---------------------------------------------------------------------
+
+
+def _simhash_bits_spark(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash per doc from token md5 nibbles — pure JVM.
+    bit j of token hash = bit (3 - j%4) of hex digit (1 + j/4) of
+    md5(token); simhash bit j = 1 iff sum over DISTINCT tokens of
+    (2*bit - 1) >= 0 (deterministic; matches the oracle)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    ).distinct()
+    h = F.md5("tok")
+    bit_cols = []
+    for j in range(16):
+        digit = F.substring(h, 1 + j // 4, 1)
+        val = F.instr(F.lit("0123456789abcdef"), digit) - 1
+        bit = F.shiftright(val, 3 - (j % 4)).bitwiseAND(F.lit(1))
+        bit_cols.append((bit * 2 - 1).alias(f"b{j}"))
+    per_tok = toks.select("doc_id", *bit_cols)
+    agg = per_tok.groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(16)]
+    )
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    simdf = _simhash_bits_spark(docs).persist()
+    lo = (F.col("simhash").bitwiseAND(F.lit(255))).alias("band_key")
+    hi = F.shiftright(F.col("simhash"), 8).bitwiseAND(F.lit(255)).alias("band_key")
+    bands = simdf.select("doc_id", "simhash", F.lit(0).alias("band"), lo).unionByName(
+        simdf.select("doc_id", "simhash", F.lit(1).alias("band"), hi)
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.where(ham <= SIMHASH_HAMMING)
+        .select("d1", "d2", ham.cast("int").alias("hamming"))
+    )
+
+
+def _oracle_simhash() -> str:
+    bit_sums = []
+    for j in range(16):
+        digit = f"substr(md5(tok), {1 + j // 4}, 1)"
+        val = f"(strpos('0123456789abcdef', {digit}) - 1)"
+        bit = f"((({val} >> {3 - (j % 4)}) & 1) * 2 - 1)"
+        bit_sums.append(f"sum({bit}) AS s{j}")
+    sim_terms = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(trim(text), ' ')) AS t(tok)
+),
+sums AS (SELECT doc_id, {", ".join(bit_sums)} FROM toks GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM sums),
+bands AS (
+  SELECT doc_id, simhash, 0 AS band, simhash & 255 AS band_key FROM sim
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS band, (simhash >> 8) & 255 AS band_key FROM sim
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.simhash AS sa, y.simhash AS sb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING}
+""".strip()
+
+
+# -- doc stats / quality ---------------------------------------------------------
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.selectExpr(
+        "doc_id",
+        "length(text) AS n_chars_calc",
+        "regexp_count(text, '[a-z0-9]+') AS n_tokens",
+        "regexp_count(text, ' the | a ') AS n_stop",
+        "CASE WHEN length(text) > 0 THEN regexp_count(text, '[a-z]') * 1e0 / length(text) ELSE 0e0 END AS alpha_ratio",
+        "least(regexp_count(text, '[a-z0-9]+') * 1e0 / 100e0, 1e0) AS quality",
+    )
+
+
+ORACLE_DOC_STATS = """
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
+       len(regexp_extract_all(text, ' the | a ')) AS n_stop,
+       CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[a-z]')) * 1e0 / length(text) ELSE 0e0 END AS alpha_ratio,
+       least(len(regexp_extract_all(text, '[a-z0-9]+')) * 1e0 / 100e0, 1e0) AS quality
+FROM documents
+""".strip()
+
+
+# -- language heuristic -----------------------------------------------------------
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword heuristic (the corpus shares one vocabulary, so
+    this grades the machinery, not detector quality)."""
+    docs = _docs(spark, sf_dir)
+    return docs.selectExpr(
+        "doc_id",
+        "lang",
+        "CASE WHEN regexp_count(text, ' the | a ') >= 2 THEN 'en' ELSE 'other' END AS guess",
+    )
+
+
+ORACLE_LANG_GUESS = """
+SELECT doc_id, lang,
+       CASE WHEN len(regexp_extract_all(text, ' the | a ')) >= 2 THEN 'en' ELSE 'other' END AS guess
+FROM documents
+""".strip()
+
+
+# -- fingerprint -------------------------------------------------------------------
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min md5 over 3-word shingles (1-seed MinHash)."""
+    docs = _docs(spark, sf_dir)
+    sh = _shingles(docs)
+    return sh.groupBy("doc_id").agg(F.min(F.md5("s")).alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = f"""
+WITH {_SHINGLES_SQL}
+SELECT doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY doc_id
+""".strip()
+
+
+TEXT_QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "doc_stats": q_doc_stats,
+    "lang_guess": q_lang_guess,
+    "doc_fingerprint": q_fingerprint,
+}
+
+TEXT_ORACLES = {
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "minhash_lsh": _oracle_minhash(),
+    "simhash_pairs": _oracle_simhash(),
+    "doc_stats": ORACLE_DOC_STATS,
+    "lang_guess": ORACLE_LANG_GUESS,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+}
