@@ -91,6 +91,43 @@ def with_cells(df: DataFrame, prefix: str, grid: Grid, res: int, keep_cxy: bool)
     return df if keep_cxy else df.drop("cx", "cy")
 
 
+def with_fine_cells(df: DataFrame, prefix: str, grid: Grid, res: int, fine_res: int) -> DataFrame:
+    """Re-cover rows at ``fine_res`` RESTRICTED to their (hot) parent
+    cell: the fine coordinate range of the row's bbox is intersected
+    with the parent's fine-coordinate block in pure integer math (no
+    float parent rectangles), so parent/child coverings stay consistent
+    at cell boundaries. Input must carry cx/cy (parent coords at
+    ``res``); output replaces cell/cx/cy with fine-resolution ones."""
+    k = fine_res - res
+    nf = 1 << fine_res
+    cwf, chf = grid.cell_size(fine_res)
+    fx0 = _clamped_cell_coord(F.col(f"{prefix}_xmin"), grid.x0, cwf, nf)
+    fx1 = _clamped_cell_coord(F.col(f"{prefix}_xmax"), grid.x0, cwf, nf)
+    fy0 = _clamped_cell_coord(F.col(f"{prefix}_ymin"), grid.y0, chf, nf)
+    fy1 = _clamped_cell_coord(F.col(f"{prefix}_ymax"), grid.y0, chf, nf)
+    px0 = F.shiftleft(F.col("cx"), k)
+    px1 = F.shiftleft(F.col("cx") + 1, k) - 1
+    py0 = F.shiftleft(F.col("cy"), k)
+    py1 = F.shiftleft(F.col("cy") + 1, k) - 1
+    def _seq(lo, hi):
+        # Spark's sequence(a, b) auto-reverses when a > b; empty ranges
+        # (ulp-level boundary wobble) must drop the row instead
+        return F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    df = df.drop("cell")
+    df = df.withColumn("fcx", F.explode(_seq(F.greatest(fx0, px0), F.least(fx1, px1))))
+    df = df.withColumn("fcy", F.explode(_seq(F.greatest(fy0, py0), F.least(fy1, py1))))
+    df = df.drop("cx", "cy").withColumnRenamed("fcx", "cx").withColumnRenamed("fcy", "cy")
+    return df.withColumn(
+        "cell",
+        F.lit(fine_res << 58).cast("long")
+        .bitwiseOR(F.shiftleft(F.col("cx"), 29))
+        .bitwiseOR(F.col("cy")),
+    )
+
+
 def _build_batches(pdf):
     A = GeomBatch.from_columns(
         pdf["s_kind"].to_numpy(), pdf["s_coords"].to_list(), pdf["s_rings"].to_list()
@@ -112,13 +149,19 @@ class SpatialIndex:
     """
 
     def __init__(self, spark, small_cells: DataFrame, grid: Grid, res: int,
-                 max_distance: float, broadcast_small: bool):
+                 max_distance: float, broadcast_small: bool,
+                 hot_cells: DataFrame | None = None,
+                 small_fine: DataFrame | None = None,
+                 fine_resolution: int | None = None):
         self.spark = spark
-        self.small_cells = small_cells
+        self.small_cells = small_cells  # cold cells (all cells when no split)
         self.grid = grid
         self.resolution = res
         self.max_distance = max_distance
         self.broadcast_small = broadcast_small
+        self.hot_cells = hot_cells
+        self.small_fine = small_fine
+        self.fine_resolution = fine_resolution
 
     # -- construction -------------------------------------------------------
 
@@ -132,10 +175,22 @@ class SpatialIndex:
         broadcast: bool | str = "auto",
         validate: bool = True,
         persist: bool = True,
+        hot_threshold: int | None = None,
+        split_steps: int = 2,
     ) -> "SpatialIndex":
         """small_df schema: (id:long, kind:int, coords:array<double>,
         rings:array<int>?) — see sparkutil.geometry_schema. Polygon
-        rings must be closed."""
+        rings must be closed.
+
+        ``hot_threshold``: enable hot-cell SPLITTING (the north rule's
+        explicit skew handling) — cells indexing more than this many
+        small rows are re-covered at ``resolution + split_steps``; probe
+        rows touching a hot cell probe the fine level within it. The
+        reference-point dedup rule keeps the two levels disjoint: a
+        candidate pair is emitted only in the level owning the cell of
+        its bbox-intersection corner, so results are identical with
+        splitting on or off.
+        """
         max_distance = validate_max_distance(max_distance)
         if validate:
             validate_geoms(small_df)
@@ -175,16 +230,52 @@ class SpatialIndex:
                     )
         else:
             grid = Grid(extent)
-        small_cells = with_cells(s, "s", grid, resolution, keep_cxy=False)
+        small_all = with_cells(s, "s", grid, resolution, keep_cxy=True)
+        hot = None
+        small_fine = None
+        fine_res = None
+        if hot_threshold is not None:
+            hist = small_all.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+            hot = hist.where(F.col("n") > int(hot_threshold)).select("cell").persist()
+            if hot.count() == 0:
+                hot.unpersist()
+                hot = None
+            else:
+                fine_res = min(resolution + split_steps, 28)
+                cold = small_all.join(F.broadcast(hot), "cell", "left_anti").drop("cx", "cy")
+                hotrows = small_all.join(F.broadcast(hot), "cell", "left_semi")
+                small_fine = with_fine_cells(hotrows, "s", grid, resolution, fine_res).drop("cx", "cy")
+                small_all = cold
+        small_cells = small_all.drop("cx", "cy") if hot is None else small_all
         if persist:
             small_cells = small_cells.persist()
+            if small_fine is not None:
+                small_fine = small_fine.persist()
         bc = broadcast
         if bc == "auto":
             n_cells = small_cells.count()  # materializes the cache too
+            if small_fine is not None:
+                n_cells += small_fine.count()
             bc = n_cells <= 2_000_000
-        return SpatialIndex(spark, small_cells, grid, resolution, max_distance, bool(bc))
+        return SpatialIndex(
+            spark, small_cells, grid, resolution, max_distance, bool(bc),
+            hot_cells=hot, small_fine=small_fine, fine_resolution=fine_res,
+        )
 
     # -- operators -----------------------------------------------------------
+
+    def _ref_filter(self, cand: DataFrame, res: int) -> DataFrame:
+        """Reference-point dedup + bbox-intersection prune (pure SQL):
+        keep a candidate pair only in the cell containing the top-left
+        corner of the two bboxes' intersection."""
+        rx = F.greatest("s_xmin", "b_xmin")
+        ry = F.greatest("s_ymin", "b_ymin")
+        bbox_ok = (rx <= F.least("s_xmax", "b_xmax")) & (ry <= F.least("s_ymax", "b_ymax"))
+        n = 1 << res
+        cw, ch = self.grid.cell_size(res)
+        ref_cx = _clamped_cell_coord(rx, self.grid.x0, cw, n)
+        ref_cy = _clamped_cell_coord(ry, self.grid.y0, ch, n)
+        return cand.where(bbox_ok & (F.col("cx") == ref_cx) & (F.col("cy") == ref_cy))
 
     def _candidates(self, big_df: DataFrame, validate: bool) -> DataFrame:
         if validate:
@@ -192,19 +283,25 @@ class SpatialIndex:
         b = _prefixed(big_df, "b", "big_id")
         b = with_bbox(b, "b", buffer=0.0)
         b = with_cells(b, "b", self.grid, self.resolution, keep_cxy=True)
-        small = self.small_cells
-        if self.broadcast_small:
-            small = F.broadcast(small)
-        cand = b.join(small, on="cell", how="inner")
-        # reference-point dedup + bbox-intersection prune (pure SQL)
-        rx = F.greatest("s_xmin", "b_xmin")
-        ry = F.greatest("s_ymin", "b_ymin")
-        bbox_ok = (rx <= F.least("s_xmax", "b_xmax")) & (ry <= F.least("s_ymax", "b_ymax"))
-        n = 1 << self.resolution
-        cw, ch = self.grid.cell_size(self.resolution)
-        ref_cx = _clamped_cell_coord(rx, self.grid.x0, cw, n)
-        ref_cy = _clamped_cell_coord(ry, self.grid.y0, ch, n)
-        return cand.where(bbox_ok & (F.col("cx") == ref_cx) & (F.col("cy") == ref_cy))
+
+        def bcast(df):
+            return F.broadcast(df) if self.broadcast_small else df
+
+        if self.hot_cells is None:
+            cand = b.join(bcast(self.small_cells), on="cell", how="inner")
+            return self._ref_filter(cand, self.resolution)
+        # two-level probe: cold cells at base resolution, hot cells at
+        # the fine resolution (within the hot parent only). A pair's
+        # reference point picks exactly one level, so the union is
+        # duplicate-free by the same rule that dedups coverings.
+        b_cold = b.join(F.broadcast(self.hot_cells), "cell", "left_anti")
+        cand_cold = b_cold.join(bcast(self.small_cells), on="cell", how="inner")
+        cand_cold = self._ref_filter(cand_cold, self.resolution)
+        b_hot = b.join(F.broadcast(self.hot_cells), "cell", "left_semi")
+        b_fine = with_fine_cells(b_hot, "b", self.grid, self.resolution, self.fine_resolution)
+        cand_fine = b_fine.join(bcast(self.small_fine), on="cell", how="inner")
+        cand_fine = self._ref_filter(cand_fine, self.fine_resolution)
+        return cand_cold.unionByName(cand_fine)
 
     def spatial_join(
         self, big_df: DataFrame, how: str = "intersects",
@@ -281,6 +378,10 @@ class SpatialIndex:
 
     def unpersist(self):
         self.small_cells.unpersist()
+        if self.hot_cells is not None:
+            self.hot_cells.unpersist()
+        if self.small_fine is not None:
+            self.small_fine.unpersist()
 
 
 # -- validation op -----------------------------------------------------------

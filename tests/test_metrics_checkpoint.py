@@ -1,0 +1,74 @@
+"""Metrics aggregations + checkpoint/resume idempotence."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+
+from spatialjoin.checkpoint import ResumableRun
+from spatialjoin.geom import POINT, RECT
+from spatialjoin.index import SpatialIndex
+from spatialjoin.metrics import cell_histogram, job_metrics_json, partition_metrics, skew_stats
+from spatialjoin.sparkutil import geoms_to_df
+
+
+def _rows(rng, n):
+    out = []
+    for _ in range(n):
+        cx, cy = rng.uniform(-5, 5), rng.uniform(-5, 5)
+        if rng.random() < 0.5:
+            out.append((POINT, [cx, cy]))
+        else:
+            out.append((RECT, [cx - 0.2, cy - 0.2, cx + 0.2, cy + 0.2]))
+    return out
+
+
+def test_partition_and_skew_metrics(spark):
+    rng = random.Random(5)
+    small = geoms_to_df(spark, _rows(rng, 100))
+    idx = SpatialIndex.build(spark, small, validate=False)
+    pm = partition_metrics(idx.small_cells).collect()
+    assert sum(r.rows for r in pm) == idx.small_cells.count()
+    assert all(r.approx_bytes > 0 for r in pm)
+    st = skew_stats(idx.small_cells)
+    assert st["total_rows"] == idx.small_cells.count()
+    assert 0 < st["top_cell_share"] <= 1
+    hist = cell_histogram(idx.small_cells).collect()
+    assert sum(r.rows for r in hist) == st["total_rows"]
+    blob = json.loads(job_metrics_json(idx.small_cells, idx.small_cells))
+    assert blob["rows"] == st["total_rows"]
+    idx.unpersist()
+
+
+def test_checkpoint_resume_idempotent(spark, tmp_path):
+    rng = random.Random(6)
+    small = geoms_to_df(spark, _rows(rng, 80))
+    big = geoms_to_df(spark, _rows(rng, 120))
+    idx = SpatialIndex.build(spark, small, validate=False)
+
+    def factory():
+        return idx.spatial_join(big, how="intersects", validate=False)
+
+    want = sorted((r.big_id, r.small_id) for r in factory().collect())
+
+    out = str(tmp_path / "ckpt")
+    run = ResumableRun(out, n_buckets=8, lineage={"test": "resume"})
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run.run(factory, fail_after=3)
+    assert len(run.done_buckets()) == 3
+
+    run2 = ResumableRun(out, n_buckets=8)
+    computed = run2.run(factory)
+    assert len(computed) == 5  # only the remaining buckets
+    assert run2.done_buckets() == set(range(8))
+
+    got = sorted((r.big_id, r.small_id) for r in run2.read(spark).select("big_id", "small_id").collect())
+    assert got == want
+
+    # third run is a no-op
+    assert ResumableRun(out, n_buckets=8).run(factory) == []
+    m = json.load(open(f"{out}/_manifests/bucket-0.json"))
+    assert m["lineage"] == {"test": "resume"} and m["n_buckets"] == 8
+    idx.unpersist()

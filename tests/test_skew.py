@@ -1,0 +1,66 @@
+"""Hot-cell splitting: identical results with skew handling on/off,
+on a deliberately skewed corpus (one dense cluster + uniform rest)."""
+
+from __future__ import annotations
+
+import random
+
+from spatialjoin.geom import POINT, RECT
+from spatialjoin.index import SpatialIndex
+from spatialjoin.sparkutil import geoms_to_df
+
+
+def _skewed_rows(rng, n, cluster_frac=0.7):
+    rows = []
+    for _ in range(n):
+        if rng.random() < cluster_frac:
+            cx, cy = rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05)
+        else:
+            cx, cy = rng.uniform(-8, 8), rng.uniform(-8, 8)
+        if rng.random() < 0.5:
+            rows.append((POINT, [cx, cy]))
+        else:
+            h = rng.uniform(0.01, 0.2)
+            rows.append((RECT, [cx - h, cy - h, cx + h, cy + h]))
+    return rows
+
+
+def _run(spark, small_rows, big_rows, how, **kw):
+    small = geoms_to_df(spark, small_rows)
+    big = geoms_to_df(spark, big_rows)
+    idx = SpatialIndex.build(spark, small, validate=False, **kw)
+    out = sorted((r.big_id, r.small_id) for r in idx.spatial_join(big, how=how, validate=False).collect())
+    used_split = idx.hot_cells is not None
+    idx.unpersist()
+    return out, used_split
+
+
+def test_hot_cell_split_invariance(spark):
+    rng = random.Random(77)
+    small_rows = _skewed_rows(rng, 300)
+    big_rows = _skewed_rows(rng, 300)
+    base, _ = _run(spark, small_rows, big_rows, "intersects")
+    split, used = _run(spark, small_rows, big_rows, "intersects",
+                       hot_threshold=20, split_steps=2)
+    assert used, "expected hot cells on this skewed corpus"
+    assert split == base
+    # shuffle (non-broadcast) path too
+    split2, used2 = _run(spark, small_rows, big_rows, "intersects",
+                         hot_threshold=20, split_steps=3, broadcast=False)
+    assert used2 and split2 == base
+
+
+def test_hot_cell_split_proximity(spark):
+    rng = random.Random(78)
+    small_rows = _skewed_rows(rng, 200)
+    big_rows = _skewed_rows(rng, 200)
+    small = geoms_to_df(spark, small_rows)
+    big = geoms_to_df(spark, big_rows)
+    a = SpatialIndex.build(spark, small, max_distance=0.5, validate=False)
+    base = sorted((r.big_id, r.small_id, r.distance) for r in a.proximity_map(big, validate=False).collect())
+    a.unpersist()
+    b = SpatialIndex.build(spark, small, max_distance=0.5, validate=False, hot_threshold=15)
+    assert b.hot_cells is not None
+    got = sorted((r.big_id, r.small_id, r.distance) for r in b.proximity_map(big, validate=False).collect())
+    b.unpersist()
+    assert got == base
