@@ -47,9 +47,15 @@ _GEO_COLS = ("kind", "coords", "rings")
 
 
 def _prefixed(df: DataFrame, prefix: str, id_out: str) -> DataFrame:
-    cols = [F.col("id").alias(id_out)]
-    cols += [F.col(c).alias(f"{prefix}_{c}") for c in _GEO_COLS]
-    return df.select(*cols)
+    # NULL array values are pathologically slow through Spark 4.1's
+    # row->Arrow writer (~80us/row measured); ship empty arrays instead
+    rings = F.coalesce(F.col("rings"), F.array().cast("array<int>"))
+    return df.select(
+        F.col("id").alias(id_out),
+        F.col("kind").alias(f"{prefix}_kind"),
+        F.col("coords").alias(f"{prefix}_coords"),
+        rings.alias(f"{prefix}_rings"),
+    )
 
 
 def with_bbox(df: DataFrame, prefix: str, buffer: float = 0.0) -> DataFrame:
@@ -126,6 +132,18 @@ def with_fine_cells(df: DataFrame, prefix: str, grid: Grid, res: int, fine_res: 
         .bitwiseOR(F.shiftleft(F.col("cx"), 29))
         .bitwiseOR(F.col("cy")),
     )
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan yields fewer
+    partitions than the cluster has slots (small local files). Real
+    table scans at scale already have thousands of partitions and skip
+    the shuffle entirely."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 1):
+        return df.repartition(target)
+    return df
 
 
 def _build_batches(pdf):
@@ -281,6 +299,7 @@ class SpatialIndex:
         if validate:
             validate_geoms(big_df)
         b = _prefixed(big_df, "b", "big_id")
+        b = ensure_parallelism(b)
         b = with_bbox(b, "b", buffer=0.0)
         b = with_cells(b, "b", self.grid, self.resolution, keep_cxy=True)
 
@@ -303,16 +322,70 @@ class SpatialIndex:
         cand_fine = self._ref_filter(cand_fine, self.fine_resolution)
         return cand_cold.unionByName(cand_fine)
 
+    def _small_kinds(self) -> set[int]:
+        if not hasattr(self, "_small_kinds_cache"):
+            row = self.small_cells.select(F.collect_set("s_kind")).first()
+            kinds = set(row[0])
+            if self.small_fine is not None:
+                kinds |= set(self.small_fine.select(F.collect_set("s_kind")).first()[0])
+            self._small_kinds_cache = kinds
+        return self._small_kinds_cache
+
+    @staticmethod
+    def _sql_predicate(how: str, small_kinds, big_kinds):
+        """JVM-only refine for rect/point workloads: their predicates
+        are pure bbox logic, and the reference-point filter already
+        proves bbox intersection — so Intersects degenerates to TRUE and
+        Contains/Within to bbox containment (closed rects; exact
+        equality for points falls out of degenerate-interval overlap).
+        The one non-bbox rule — Point never Contains a higher-dim
+        geometry even when degenerate-equal (gen.py:76-80) — is encoded
+        as a kind guard. Returns None when any side has other kinds."""
+        from .geom import POINT as P, RECT as R
+
+        if small_kinds is None or big_kinds is None:
+            return None
+        if not (set(small_kinds) <= {P, R} and set(big_kinds) <= {P, R}):
+            return None
+        if how == "intersects":
+            return F.lit(True)
+
+        def contains(sp, bp):
+            cond = (
+                (F.col(f"{sp}_xmin") <= F.col(f"{bp}_xmin"))
+                & (F.col(f"{sp}_ymin") <= F.col(f"{bp}_ymin"))
+                & (F.col(f"{sp}_xmax") >= F.col(f"{bp}_xmax"))
+                & (F.col(f"{sp}_ymax") >= F.col(f"{bp}_ymax"))
+            )
+            dim_ok = ~((F.col(f"{sp}_kind") == P) & (F.col(f"{bp}_kind") != P))
+            return cond & dim_ok
+
+        return contains("s", "b") if how == "contains" else contains("b", "s")
+
     def spatial_join(
         self, big_df: DataFrame, how: str = "intersects",
         with_geos: bool = False, validate: bool = True,
+        big_kinds=None,
     ) -> DataFrame:
         """DF[big_id, small_id] (+ geometry columns when with_geos),
         matching SJoinRow/SJoinGeoRow (src/structs.rs:369-401).
-        Output order is unspecified, like the reference's iterators."""
+        Output order is unspecified, like the reference's iterators.
+
+        ``big_kinds``: optional set of kind codes present on the probe
+        side; when both sides are rect/point-only the exact refine is
+        pure SQL and the plan never leaves the JVM."""
         if how not in _HOW:
             raise ValueError(f"how must be one of {_HOW}")
         cand = self._candidates(big_df, validate)
+        # the fast path reasons over stored bboxes, which are buffered by
+        # max_distance at build — only exact when the buffer is zero
+        sqlpred = (
+            self._sql_predicate(how, self._small_kinds(), big_kinds)
+            if self.max_distance == 0.0
+            else None
+        )
+        if sqlpred is not None and not with_geos:
+            return cand.where(sqlpred).select("big_id", "small_id")
         fields = [
             T.StructField("big_id", T.LongType(), False),
             T.StructField("small_id", T.LongType(), False),

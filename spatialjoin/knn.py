@@ -90,6 +90,9 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
     if validate:
         validate_geoms(big_df)
     b = _prefixed(big_df, "b", "big_id")
+    from .index import ensure_parallelism
+
+    b = ensure_parallelism(b)
     b = with_bbox(b, "b", buffer=0.0)
     b_base = b.persist()
 

@@ -92,7 +92,7 @@ def q_pip_rect_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     rects = _rects_df(spark, sf_dir, "part", "p_partkey")
     pts = _points_df(spark, sf_dir, "customer", "c_custkey")
     idx = SpatialIndex.build(spark, rects, validate=False)
-    return idx.spatial_join(pts, how="contains", validate=False)
+    return idx.spatial_join(pts, how="contains", validate=False, big_kinds={0})
 
 
 def q_rects_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +101,7 @@ def q_rects_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = _rects_df(spark, sf_dir, "lineitem", "(l_orderkey * 10 + l_linenumber)",
                     id_expr=LINEITEM_ID)
     idx = SpatialIndex.build(spark, small, validate=False)
-    return idx.spatial_join(big, how="intersects", validate=False)
+    return idx.spatial_join(big, how="intersects", validate=False, big_kinds={4})
 
 
 def q_points_within_quads(spark: SparkSession, sf_dir: str) -> DataFrame:

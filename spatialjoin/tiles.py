@@ -34,7 +34,10 @@ def assign_tiles(geoms_df: DataFrame, zoom: int, extent, validate: bool = True) 
     grid = Grid(extent)
     if validate:
         validate_geoms(geoms_df)
+    from .index import ensure_parallelism
+
     g = _prefixed(geoms_df, "b", "id")
+    g = ensure_parallelism(g)
     g = with_bbox(g, "b", buffer=0.0)
     g = with_cells(g, "b", grid, zoom, keep_cxy=True)
     tw, th = grid.cell_size(zoom)

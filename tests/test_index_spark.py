@@ -187,3 +187,35 @@ def test_probe_outside_extent_is_safe(spark):
     small = [(RECT, [0.0, 0.0, 1.0, 1.0])]
     big = [(POINT, [50.0, 50.0]), (POINT, [0.5, 0.5])]
     assert run_join(spark, small, big, "contains") == [(1, 0)]
+
+
+def test_sql_fast_path_matches_kernel_path(spark):
+    """rect/point joins with a big_kinds hint (pure-SQL refine) must
+    equal the kernel path on every `how`, incl. degenerate shapes."""
+    rng = random.Random(42)
+    rows = []
+    for _ in range(60):
+        if rng.random() < 0.5:
+            rows.append((POINT, [rng.uniform(-2, 2), rng.uniform(-2, 2)]))
+        else:
+            x1, x2 = sorted((rng.uniform(-2, 2), rng.uniform(-2, 2)))
+            y1, y2 = sorted((rng.uniform(-2, 2), rng.uniform(-2, 2)))
+            rows.append((RECT, [x1, y1, x2, y2]))
+    rows += [(RECT, [0.0, 0.0, 0.0, 0.0]), (POINT, [0.0, 0.0])]  # degenerate
+    small = geoms_to_df(spark, rows)
+    big = geoms_to_df(spark, rows)
+    from spatialjoin.geom import POINT as P, RECT as R
+
+    for how in ("intersects", "contains", "within"):
+        idx = SpatialIndex.build(spark, small, validate=False)
+        fast = sorted(
+            (r.big_id, r.small_id)
+            for r in idx.spatial_join(big, how=how, validate=False, big_kinds={P, R}).collect()
+        )
+        slow = sorted(
+            (r.big_id, r.small_id)
+            for r in idx.spatial_join(big, how=how, validate=False).collect()
+        )
+        idx.unpersist()
+        assert fast == slow, how
+        assert fast == slow_spatial_join(gb(rows), gb(rows), how)
