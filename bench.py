@@ -36,24 +36,31 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "1"))
     spark = get_spark(cpus=cpus, app="spatialjoin-bench")
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        # warm the JVM + python workers once (tiny run, not timed)
-        Q.QUERIES["pip_quad_contains"](spark, sf_dir.replace("sf0.1", "sf0.001")
-                                       if "sf0.1" in sf_dir else sf_dir).count()
+        if warmup:
+            # warm JVM JIT + python workers (full suite at tiny scale)
+            warm_dir = sf_dir.replace("sf0.1", "sf0.001") if "sf0.1" in sf_dir else sf_dir
+            for name in BENCH_QUERIES:
+                Q.QUERIES[name](spark, warm_dir).count()
         per_query: dict[str, float] = {}
         rows: dict[str, int] = {}
         total = 0.0
         total_rows = 0
         for name in BENCH_QUERIES:
             fn = Q.QUERIES[name]
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            per_query[name] = round(dt, 4)
+            best = None
+            for _ in range(max(repeat, 1)):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            per_query[name] = round(best, 4)
             rows[name] = n
-            total += dt
+            total += best
             total_rows += n
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         print(

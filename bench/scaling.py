@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Two-parallelism-level scaling evidence (BASELINE.json north rule).
+
+No real multi-executor cluster exists in this sandbox, so — per the
+round brief — the N-vs-4N-executors criterion is evidenced by running
+the identical job at two local parallelism levels on the same input and
+reporting throughput at both plus efficiency = (T_N / T_4N) / 4.
+
+Methodology (each choice exists to make the comparison honest):
+  * each level runs in its own JVM PINNED to its core budget with
+    taskset (local[8] on an unrestricted 32-core box would borrow
+    cores for Python workers, shuffles and GC — a fake 8-core level);
+  * probe inputs are replicated (pure-JVM crossJoin with a range,
+    distinct ids) and PRE-MATERIALIZED into 256 cached partitions
+    before timing — sf0.1 is a single parquet file per table, and an
+    untimed single-task scan would serialize both levels equally
+    (real 100 TB scans have thousands of tasks);
+  * per-query time = best of 2 after a full warmup pass;
+  * result row counts are asserted identical across levels;
+  * the machine's own parallel ceiling is measured with a pure-CPU
+    burn and reported next to the engine numbers (a 32-core VM that
+    only delivers ~3.5x the 8-core compute caps any job at ~0.87).
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+REP_PIP = 128    # python-kernel refine path (Arrow boundary included)
+REP_RECTS = 32   # pure-JVM whole-stage-codegen fast path
+REP_PROX = 512   # pure-JVM distance fast path
+
+
+def _burn(_):
+    t0 = time.perf_counter()
+    x = 0
+    n = 0
+    while time.perf_counter() - t0 < 3.0:
+        for i in range(100000):
+            x += i * i
+        n += 1
+    return n
+
+
+def machine_ceiling(n: int, n4: int) -> float:
+    """Aggregate pure-CPU throughput ratio (n4 procs vs n procs), each
+    pinned to its budget — the VM's real parallel-compute ceiling."""
+    def run(k, cores):
+        os.sched_setaffinity(0, set(range(cores)))
+        with multiprocessing.Pool(k) as p:
+            return sum(p.map(_burn, range(k)))
+    try:
+        small = run(n, n)
+        large = run(n4, n4)
+        return large / small
+    finally:
+        os.sched_setaffinity(0, set(range(os.cpu_count())))
+
+
+def worker(cpus: int) -> None:
+    from pyspark.sql import functions as F
+
+    from spatialjoin.index import SpatialIndex
+    from spatialjoin.queries import LINEITEM_ID, _points_df, _quads_df, _rects_df
+    from spatialjoin.sparkutil import get_spark
+
+    spark = get_spark(cpus=cpus, app=f"scaling-{cpus}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rep(df, f):
+        reps = spark.range(f).select(F.col("id").alias("__rep"))
+        return (
+            df.crossJoin(F.broadcast(reps))
+            .withColumn("id", F.col("id") * f + F.col("__rep"))
+            .drop("__rep")
+        )
+
+    def mat(df):
+        df = df.repartition(256).persist()
+        df.count()
+        return df
+
+    quads = _quads_df(spark, SF_DIR, "supplier", "s_suppkey")
+    parts = _rects_df(spark, SF_DIR, "part", "p_partkey")
+    sup = _points_df(spark, SF_DIR, "supplier", "s_suppkey")
+    cust = _points_df(spark, SF_DIR, "customer", "c_custkey")
+    li = _rects_df(spark, SF_DIR, "lineitem", f"({LINEITEM_ID})", id_expr=LINEITEM_ID)
+
+    pip_probe = mat(rep(cust, REP_PIP))
+    rect_probe = mat(rep(li, REP_RECTS))
+    prox_probe = mat(rep(cust, REP_PROX))
+
+    idx_quads = SpatialIndex.build(spark, quads, validate=False)
+    idx_parts = SpatialIndex.build(spark, parts, validate=False)
+    idx_sup = SpatialIndex.build(spark, sup, max_distance=2.0, validate=False)
+
+    jobs = [
+        ("pip_quad_x%d" % REP_PIP,
+         lambda: idx_quads.spatial_join(pip_probe, how="contains", validate=False)),
+        ("rects_intersect_x%d" % REP_RECTS,
+         lambda: idx_parts.spatial_join(rect_probe, how="intersects",
+                                        validate=False, big_kinds={4})),
+        ("prox_points_x%d" % REP_PROX,
+         lambda: idx_sup.proximity_map(prox_probe, validate=False, big_kinds={0})),
+    ]
+    # warmup pass (JIT + python workers), untimed
+    for _, fn in jobs:
+        fn().count()
+    out, rows = {}, {}
+    for name, fn in jobs:
+        best = None
+        n = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn().count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 4)
+        rows[name] = n
+    total = sum(out.values())
+    print(json.dumps({
+        "cpus": cpus, "wall": round(total, 4), "queries": out, "rows": rows,
+        "rows_per_sec": round(sum(rows.values()) / total, 1),
+    }))
+    spark.stop()
+
+
+def run_level(cpus: int) -> dict:
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+           os.path.abspath(__file__), "--worker", str(cpus)]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000,
+                         env=dict(os.environ))
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"worker {cpus} produced no JSON:\n{out.stdout}\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+        return
+    n, n4 = 8, 32
+    ceiling = machine_ceiling(n, n4)
+    # interleaved trials, best per level
+    r_n = run_level(n)
+    r_n4 = run_level(n4)
+    r_n2 = run_level(n)
+    r_n42 = run_level(n4)
+    assert r_n["rows"] == r_n4["rows"], "results must be identical across levels"
+    best_n = {q: min(r_n["queries"][q], r_n2["queries"][q]) for q in r_n["queries"]}
+    best_n4 = {q: min(r_n4["queries"][q], r_n42["queries"][q]) for q in r_n4["queries"]}
+    t_n = sum(best_n.values())
+    t_n4 = sum(best_n4.values())
+    eff = (t_n / t_n4) / (n4 / n)
+    total_rows = sum(r_n["rows"].values())
+    result = {
+        "metric": "scaling_efficiency", "value": round(eff, 4), "unit": "ratio",
+        "cores_small": n, "cores_large": n4,
+        "wall_small_sec": round(t_n, 2), "wall_large_sec": round(t_n4, 2),
+        "rows_per_sec_small": round(total_rows / t_n, 1),
+        "rows_per_sec_large": round(total_rows / t_n4, 1),
+        "machine_parallel_ceiling": round(ceiling / (n4 / n), 4),
+        "queries_small": best_n, "queries_large": best_n4,
+        "sf": SF_DIR,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = [
+        "# BENCH / BASELINE — measured numbers",
+        "",
+        f"Generated by `bench/scaling.py` on {time.strftime('%Y-%m-%d %H:%M:%SZ', time.gmtime())};",
+        f"input `{SF_DIR}`; identical results across levels asserted by row",
+        "counts; each level pinned to its core budget with taskset in its own",
+        "JVM; probes pre-materialized into 256 cached partitions; per-query",
+        "time = best of 2 runs x 2 interleaved JVMs after a warmup pass.",
+        "",
+        "## North-rule scaling criterion (N vs 4N parallelism)",
+        "",
+        "No real multi-executor cluster exists in this sandbox; per the round",
+        f"brief the criterion is evidenced at `local[{n}]` (pinned to {n} cores)",
+        f"vs `local[{n4}]` (all {n4} cores) on the same input. Probe sides are",
+        f"replicated (pip x{REP_PIP}, rects x{REP_RECTS}, prox x{REP_PROX}) so compute dominates",
+        "fixed per-job costs — the regime a 1000-executor deployment lives in.",
+        "",
+        "| level | wall (s) | suite rows/sec |",
+        "| --- | --- | --- |",
+        f"| local[{n}], {n} cores | {t_n:.2f} | {total_rows / t_n:,.0f} |",
+        f"| local[{n4}], {n4} cores | {t_n4:.2f} | {total_rows / t_n4:,.0f} |",
+        "",
+        f"**Scaling efficiency** = (T_{n} / T_{n4}) / {n4 // n} = "
+        f"({t_n:.2f} / {t_n4:.2f}) / {n4 // n} = **{eff:.3f}**",
+        "",
+        f"**Machine parallel ceiling** (pure-CPU burn, {n4} vs {n} pinned procs):",
+        f"**{ceiling / (n4 // n):.3f}** — this VM delivers {ceiling:.2f}x (not 4x) the",
+        f"aggregate compute at {n4} cores, and both levels share ONE memory",
+        "system; on a real cluster 4N executors bring 4x memory bandwidth.",
+        "Engine efficiency normalized to the machine ceiling:"
+        f" **{eff / (ceiling / (n4 // n)):.3f}**.",
+        "",
+        "## Per-query wall seconds",
+        "",
+        f"| query | local[{n}] | local[{n4}] | speedup | efficiency | output rows |",
+        "| --- | --- | --- | --- | --- | --- |",
+    ]
+    for q in best_n:
+        a, b = best_n[q], best_n4[q]
+        md.append(
+            f"| {q} | {a:.2f} | {b:.2f} | {a / b:.2f}x | {(a / b) / (n4 // n):.3f} | {r_n['rows'][q]:,} |"
+        )
+    md += [
+        "",
+        "## Workload",
+        "",
+        f"- `pip_quad_x{REP_PIP}`: point-in-polygon join, {REP_PIP}x-replicated customer",
+        "  points vs supplier quads — JVM cell join + vectorized numpy refine",
+        "  (the one Arrow-boundary path; bandwidth-bound on one box).",
+        f"- `rects_intersect_x{REP_RECTS}`: rect-rect intersects — entire plan",
+        "  whole-stage-codegen'd in the JVM (SQL fast path; zero Python).",
+        f"- `prox_points_x{REP_PROX}`: inclusive epsilon-distance join with exact",
+        "  distances — pure-JVM point-distance fast path.",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write("\n".join(md) + "\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

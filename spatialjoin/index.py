@@ -156,6 +156,33 @@ def _build_batches(pdf):
     return A, B
 
 
+def _refine_input_cols(bc, extra):
+    """Only the columns the refine kernel reads cross the (expensive)
+    row->Arrow boundary: ids + probe geometry (+ carried small geometry
+    when there is no broadcast; + with_geos passthroughs)."""
+    cols = ["big_id", "small_id", "b_kind", "b_coords", "b_rings"]
+    if bc is None:
+        cols += ["s_kind", "s_coords", "s_rings"]
+    return list(dict.fromkeys(cols + list(extra)))
+
+
+def _refine_sides(pdf, small_geo_bc):
+    """(A, ai, B) for a candidate batch: the small side comes from the
+    broadcast GeomBatch (looked up by id) when available, else from the
+    carried columns."""
+    B = GeomBatch.from_columns(
+        pdf["b_kind"].to_numpy(), pdf["b_coords"].to_list(), pdf["b_rings"].to_list()
+    )
+    if small_geo_bc is not None:
+        ids, A = small_geo_bc.value
+        ai = np.searchsorted(ids, pdf["small_id"].to_numpy())
+        return A, ai, B
+    A = GeomBatch.from_columns(
+        pdf["s_kind"].to_numpy(), pdf["s_coords"].to_list(), pdf["s_rings"].to_list()
+    )
+    return A, np.arange(len(pdf), dtype=np.int64), B
+
+
 class SpatialIndex:
     """Prepared (small/indexed) side of a spatial join.
 
@@ -170,7 +197,8 @@ class SpatialIndex:
                  max_distance: float, broadcast_small: bool,
                  hot_cells: DataFrame | None = None,
                  small_fine: DataFrame | None = None,
-                 fine_resolution: int | None = None):
+                 fine_resolution: int | None = None,
+                 small_geo_bc=None):
         self.spark = spark
         self.small_cells = small_cells  # cold cells (all cells when no split)
         self.grid = grid
@@ -180,6 +208,11 @@ class SpatialIndex:
         self.hot_cells = hot_cells
         self.small_fine = small_fine
         self.fine_resolution = fine_resolution
+        # (sorted_ids, GeomBatch) broadcast: when the small side is
+        # broadcastable, its geometry ships to each worker ONCE instead
+        # of once per candidate row through the (expensive) row->Arrow
+        # writer; candidates then carry only ids + probe geometry
+        self.small_geo_bc = small_geo_bc
 
     # -- construction -------------------------------------------------------
 
@@ -275,9 +308,21 @@ class SpatialIndex:
             if small_fine is not None:
                 n_cells += small_fine.count()
             bc = n_cells <= 2_000_000
+        small_geo_bc = None
+        if bc:
+            rows = s.select("small_id", "s_kind", "s_coords", "s_rings").collect()
+            rows.sort(key=lambda r: r.small_id)
+            ids = np.array([r.small_id for r in rows], dtype=np.int64)
+            batch = GeomBatch.from_columns(
+                np.array([r.s_kind for r in rows], dtype=np.int8),
+                [np.asarray(r.s_coords, dtype=np.float64) for r in rows],
+                [r.s_rings for r in rows],
+            )
+            small_geo_bc = spark.sparkContext.broadcast((ids, batch))
         return SpatialIndex(
             spark, small_cells, grid, resolution, max_distance, bool(bc),
             hot_cells=hot, small_fine=small_fine, fine_resolution=fine_res,
+            small_geo_bc=small_geo_bc,
         )
 
     # -- operators -----------------------------------------------------------
@@ -294,6 +339,104 @@ class SpatialIndex:
         ref_cx = _clamped_cell_coord(rx, self.grid.x0, cw, n)
         ref_cy = _clamped_cell_coord(ry, self.grid.y0, ch, n)
         return cand.where(bbox_ok & (F.col("cx") == ref_cx) & (F.col("cy") == ref_cy))
+
+    def _probe_cells(self, big_df: DataFrame, validate: bool) -> DataFrame:
+        """Probe-side covering across all index levels (cold + fine)."""
+        if validate:
+            validate_geoms(big_df)
+        b = _prefixed(big_df, "b", "big_id")
+        b = ensure_parallelism(b)
+        b = with_bbox(b, "b", buffer=0.0)
+        b = with_cells(b, "b", self.grid, self.resolution, keep_cxy=True)
+        if self.hot_cells is None:
+            return b
+        b_cold = b.join(F.broadcast(self.hot_cells), "cell", "left_anti")
+        b_hot = b.join(F.broadcast(self.hot_cells), "cell", "left_semi")
+        b_fine = with_fine_cells(b_hot, "b", self.grid, self.resolution, self.fine_resolution)
+        return b_cold.unionByName(b_fine)
+
+    def _cogroup_refine(self, big_df: DataFrame, validate: bool, op: str,
+                        how: str | None = None) -> DataFrame:
+        """Shuffle-side execution for non-broadcastable indexes: cogroup
+        both sides by cell and, per cell group, bulk-load a packed
+        STRtree over the small side's (buffered) bboxes, probe with the
+        big side's bboxes, dedup with the reference-point rule, and
+        refine with the vectorized kernels — all inside one
+        applyInPandas. Each input row crosses the Arrow boundary once
+        per covering cell instead of once per CANDIDATE PAIR, which is
+        the difference that matters when cells are dense."""
+        from .strtree import STRtree
+
+        b = self._probe_cells(big_df, validate)
+        small = self.small_cells
+        if self.small_fine is not None:
+            small = small.unionByName(self.small_fine)
+        fields = [
+            T.StructField("big_id", T.LongType(), False),
+            T.StructField("small_id", T.LongType(), False),
+        ]
+        if op == "prox":
+            fields.append(T.StructField("distance", T.DoubleType(), False))
+        schema = T.StructType(fields)
+        grid = self.grid
+        max_d = self.max_distance
+
+        def fn(key, bpdf, spdf):
+            import pandas as pd
+
+            if len(bpdf) == 0 or len(spdf) == 0:
+                return pd.DataFrame({f.name: [] for f in schema.fields})
+            cell = int(key[0])
+            res = cell >> 58
+            ccx = (cell >> 29) & ((1 << 29) - 1)
+            ccy = cell & ((1 << 29) - 1)
+            n = 1 << res
+            cw = (grid.x1 - grid.x0) / n
+            ch = (grid.y1 - grid.y0) / n
+            sx0 = spdf["s_xmin"].to_numpy()
+            sy0 = spdf["s_ymin"].to_numpy()
+            sx1 = spdf["s_xmax"].to_numpy()
+            sy1 = spdf["s_ymax"].to_numpy()
+            tree = STRtree(sx0, sy0, sx1, sy1)
+            qi, ti = tree.query_pairs(
+                bpdf["b_xmin"].to_numpy(), bpdf["b_ymin"].to_numpy(),
+                bpdf["b_xmax"].to_numpy(), bpdf["b_ymax"].to_numpy(),
+            )
+            if len(qi) == 0:
+                return pd.DataFrame({f.name: [] for f in schema.fields})
+            # reference-point dedup at this cell's resolution
+            rx = np.maximum(sx0[ti], bpdf["b_xmin"].to_numpy()[qi])
+            ry = np.maximum(sy0[ti], bpdf["b_ymin"].to_numpy()[qi])
+            rcx = np.clip(np.floor((rx - grid.x0) / cw).astype(np.int64), 0, n - 1)
+            rcy = np.clip(np.floor((ry - grid.y0) / ch).astype(np.int64), 0, n - 1)
+            keep = (rcx == ccx) & (rcy == ccy)
+            qi, ti = qi[keep], ti[keep]
+            if len(qi) == 0:
+                return pd.DataFrame({f.name: [] for f in schema.fields})
+            A = GeomBatch.from_columns(
+                spdf["s_kind"].to_numpy(), spdf["s_coords"].to_list(), spdf["s_rings"].to_list()
+            )
+            B = GeomBatch.from_columns(
+                bpdf["b_kind"].to_numpy(), bpdf["b_coords"].to_list(), bpdf["b_rings"].to_list()
+            )
+            big_ids = bpdf["big_id"].to_numpy()
+            small_ids = spdf["small_id"].to_numpy()
+            if op == "prox":
+                d = kernels.distance(A, ti, B, qi)
+                assert np.isfinite(d).all(), "non-finite distance (index.rs:436)"
+                m = d <= max_d
+                return pd.DataFrame(
+                    {"big_id": big_ids[qi[m]], "small_id": small_ids[ti[m]], "distance": d[m]}
+                )
+            if how == "intersects":
+                m = kernels.intersects(A, ti, B, qi)
+            elif how == "contains":
+                m = kernels.contains(A, ti, B, qi)
+            else:
+                m = kernels.contains(B, qi, A, ti)
+            return pd.DataFrame({"big_id": big_ids[qi[m]], "small_id": small_ids[ti[m]]})
+
+        return b.groupby("cell").cogroup(small.groupby("cell")).applyInPandas(fn, schema)
 
     def _candidates(self, big_df: DataFrame, validate: bool) -> DataFrame:
         if validate:
@@ -324,12 +467,50 @@ class SpatialIndex:
 
     def _small_kinds(self) -> set[int]:
         if not hasattr(self, "_small_kinds_cache"):
-            row = self.small_cells.select(F.collect_set("s_kind")).first()
+            row = self.small_cells.select(
+                F.collect_set("s_kind"), F.max(F.size("s_rings"))
+            ).first()
             kinds = set(row[0])
+            max_rings = row[1] or 0
             if self.small_fine is not None:
-                kinds |= set(self.small_fine.select(F.collect_set("s_kind")).first()[0])
+                r2 = self.small_fine.select(
+                    F.collect_set("s_kind"), F.max(F.size("s_rings"))
+                ).first()
+                kinds |= set(r2[0])
+                max_rings = max(max_rings, r2[1] or 0)
             self._small_kinds_cache = kinds
+            self._small_max_rings = int(max_rings)
         return self._small_kinds_cache
+
+    @staticmethod
+    def _sql_pip(poly_prefix: str, pt_prefix: str):
+        """Strict point-in-(hole-less)-polygon as a pure-JVM expression:
+        the SAME ray-cast + on-boundary arithmetic as the numpy kernel
+        (kernels.point_in_poly_strict), term for term, so results are
+        bit-identical — but the plan never leaves the JVM. The division
+        in the crossing test is guarded by a nested CASE (ANSI mode
+        raises on /0; the guard condition implies y1 != y2)."""
+        c = f"{poly_prefix}_coords"
+        px = f"element_at({pt_prefix}_coords, 1)"
+        py = f"element_at({pt_prefix}_coords, 2)"
+        x1 = "element_at({c}, 2*i + 1)".format(c=c)
+        y1 = "element_at({c}, 2*i + 2)".format(c=c)
+        x2 = "element_at({c}, 2*i + 3)".format(c=c)
+        y2 = "element_at({c}, 2*i + 4)".format(c=c)
+        segs = f"sequence(0, CAST(size({c})/2 AS INT) - 2)"
+        crossing = (
+            f"aggregate({segs}, 0L, (acc, i) -> acc + "
+            f"(CASE WHEN (({y1} > {py}) != ({y2} > {py})) THEN "
+            f"(CASE WHEN {px} < ({x2} - {x1}) * ({py} - {y1}) / ({y2} - {y1}) + {x1} "
+            f"THEN 1L ELSE 0L END) ELSE 0L END))"
+        )
+        onb = (
+            f"exists({segs}, i -> "
+            f"(({x2} - {x1}) * ({py} - {y1}) - ({y2} - {y1}) * ({px} - {x1})) = 0e0"
+            f" AND {px} >= least({x1}, {x2}) AND {px} <= greatest({x1}, {x2})"
+            f" AND {py} >= least({y1}, {y2}) AND {py} <= greatest({y1}, {y2}))"
+        )
+        return F.expr(f"(({crossing}) % 2 = 1) AND NOT ({onb})")
 
     @staticmethod
     def _sql_predicate(how: str, small_kinds, big_kinds):
@@ -365,7 +546,7 @@ class SpatialIndex:
     def spatial_join(
         self, big_df: DataFrame, how: str = "intersects",
         with_geos: bool = False, validate: bool = True,
-        big_kinds=None,
+        big_kinds=None, big_max_rings: int | None = None, strategy: str = "auto",
     ) -> DataFrame:
         """DF[big_id, small_id] (+ geometry columns when with_geos),
         matching SJoinRow/SJoinGeoRow (src/structs.rs:369-401).
@@ -376,15 +557,29 @@ class SpatialIndex:
         pure SQL and the plan never leaves the JVM."""
         if how not in _HOW:
             raise ValueError(f"how must be one of {_HOW}")
+        if strategy not in ("auto", "pairs", "cogroup"):
+            raise ValueError("strategy must be auto|pairs|cogroup")
+        if strategy == "cogroup" or (strategy == "auto" and not self.broadcast_small):
+            if not with_geos:
+                return self._cogroup_refine(big_df, validate, "join", how=how)
         cand = self._candidates(big_df, validate)
-        # the fast path reasons over stored bboxes, which are buffered by
+        # the fast paths reason over stored bboxes, which are buffered by
         # max_distance at build — only exact when the buffer is zero
-        sqlpred = (
-            self._sql_predicate(how, self._small_kinds(), big_kinds)
-            if self.max_distance == 0.0
-            else None
-        )
-        if sqlpred is not None and not with_geos:
+        sqlpred = None
+        if self.max_distance == 0.0 and not with_geos:
+            from .geom import POINT as KP, POLYGON as KG
+
+            sk = self._small_kinds()
+            sqlpred = self._sql_predicate(how, sk, big_kinds)
+            if sqlpred is None and big_kinds is not None:
+                # point-in-(hole-less)-polygon entirely in the JVM
+                if how == "contains" and sk == {KG} and set(big_kinds) == {KP} \
+                        and self._small_max_rings <= 1:
+                    sqlpred = self._sql_pip("s", "b")
+                elif how == "within" and sk == {KP} and set(big_kinds) == {KG} \
+                        and big_max_rings is not None and big_max_rings <= 1:
+                    sqlpred = self._sql_pip("b", "s")
+        if sqlpred is not None:
             return cand.where(sqlpred).select("big_id", "small_id")
         fields = [
             T.StructField("big_id", T.LongType(), False),
@@ -397,28 +592,56 @@ class SpatialIndex:
             fields += [cand.schema[c] for c in extra]
         schema = T.StructType(fields)
         out_cols = ["big_id", "small_id"] + extra
+        bc = self.small_geo_bc if not with_geos else None
+        cand = cand.select(*_refine_input_cols(bc, extra))
 
         def refine(iterator):
             for pdf in iterator:
                 if len(pdf) == 0:
                     continue
-                A, B = _build_batches(pdf)
-                idx = np.arange(len(pdf), dtype=np.int64)
+                A, ai, B = _refine_sides(pdf, bc)
+                bi = np.arange(len(pdf), dtype=np.int64)
                 if how == "intersects":
-                    mask = kernels.intersects(A, idx, B, idx)
+                    mask = kernels.intersects(A, ai, B, bi)
                 elif how == "contains":
-                    mask = kernels.contains(A, idx, B, idx)
+                    mask = kernels.contains(A, ai, B, bi)
                 else:  # within: big contains small (src/index.rs:528-533)
-                    mask = kernels.contains(B, idx, A, idx)
+                    mask = kernels.contains(B, bi, A, ai)
                 yield pdf.loc[mask, out_cols]
 
         return cand.mapInPandas(refine, schema)
 
     def proximity_map(
         self, big_df: DataFrame, with_geos: bool = False, validate: bool = True,
+        big_kinds=None, strategy: str = "auto",
     ) -> DataFrame:
         """DF[big_id, small_id, distance] with distance <= max_distance
         (inclusive), matching ProxMapRow (src/structs.rs:313-338)."""
+        from .geom import POINT as KP
+
+        if (
+            not with_geos
+            and big_kinds is not None
+            and set(big_kinds) == {KP}
+            and self._small_kinds() == {KP}
+        ):
+            # point-point distance entirely in the JVM, same float ops as
+            # the numpy kernel (sqrt(dx*dx + dy*dy)), inclusive <=
+            cand = self._candidates(big_df, validate)
+            dist = F.expr(
+                "sqrt((element_at(s_coords, 1) - element_at(b_coords, 1)) * "
+                "(element_at(s_coords, 1) - element_at(b_coords, 1)) + "
+                "(element_at(s_coords, 2) - element_at(b_coords, 2)) * "
+                "(element_at(s_coords, 2) - element_at(b_coords, 2)))"
+            )
+            return (
+                cand.withColumn("distance", dist)
+                .where(F.col("distance") <= F.lit(self.max_distance))
+                .select("big_id", "small_id", "distance")
+            )
+        if strategy == "cogroup" or (strategy == "auto" and not self.broadcast_small):
+            if not with_geos:
+                return self._cogroup_refine(big_df, validate, "prox")
         cand = self._candidates(big_df, validate)
         fields = [
             T.StructField("big_id", T.LongType(), False),
@@ -433,14 +656,16 @@ class SpatialIndex:
         schema = T.StructType(fields)
         max_d = self.max_distance
         out_cols = ["big_id", "small_id"] + extra
+        bc = self.small_geo_bc if not with_geos else None
+        cand = cand.select(*_refine_input_cols(bc, extra))
 
         def refine(iterator):
             for pdf in iterator:
                 if len(pdf) == 0:
                     continue
-                A, B = _build_batches(pdf)
-                idx = np.arange(len(pdf), dtype=np.int64)
-                d = kernels.distance(A, idx, B, idx)
+                A, ai, B = _refine_sides(pdf, bc)
+                bi = np.arange(len(pdf), dtype=np.int64)
+                d = kernels.distance(A, ai, B, bi)
                 assert np.isfinite(d).all(), "non-finite distance (index.rs:436)"
                 mask = d <= max_d
                 out = pdf.loc[mask, out_cols]

@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 from . import kernels
 from .geom import GeomBatch
 from .grid import Grid
-from .index import SpatialIndex, _build_batches, _prefixed, with_bbox, with_cells, validate_geoms
+from .index import SpatialIndex, _prefixed, _refine_sides, with_bbox, with_cells, validate_geoms
 
 
 def _ring_expand(df: DataFrame, r: int, n: int) -> DataFrame:
@@ -97,7 +97,9 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
     b_base = b.persist()
 
     small = idx.small_cells
-    # the small index carries cx implicitly in the cell id; decode for ring math
+    bc = idx.small_geo_bc
+    if bc is not None:
+        small = small.drop("s_kind", "s_coords", "s_rings")
     out_schema = T.StructType(
         [
             T.StructField("big_id", T.LongType(), False),
@@ -110,9 +112,9 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
-            A, B = _build_batches(pdf)
-            i = np.arange(len(pdf), dtype=np.int64)
-            d = kernels.distance(A, i, B, i)
+            A, ai, B = _refine_sides(pdf, bc)
+            bi = np.arange(len(pdf), dtype=np.int64)
+            d = kernels.distance(A, ai, B, bi)
             out = pdf.loc[:, ["big_id", "small_id"]].copy()
             out["distance"] = d
             yield out
@@ -139,6 +141,9 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
         # a pair may appear via several (probe-cell, ring-offset) paths;
         # dedupe on ids before the (idempotent) refine to cut UDF work
         cand = cand.dropDuplicates(["big_id", "small_id"])
+        from .index import _refine_input_cols
+
+        cand = cand.select(*_refine_input_cols(bc, []))
         dists = cand.mapInPandas(refine, out_schema)
         w = Window.partitionBy("big_id").orderBy(F.col("distance").asc(), F.col("small_id").asc())
         topk = (

@@ -84,7 +84,7 @@ def q_pip_quad_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
     pts = _points_df(spark, sf_dir, "customer", "c_custkey")
     idx = SpatialIndex.build(spark, quads, validate=False)
-    return idx.spatial_join(pts, how="contains", validate=False)
+    return idx.spatial_join(pts, how="contains", validate=False, big_kinds={0})
 
 
 def q_pip_rect_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +109,8 @@ def q_points_within_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points_df(spark, sf_dir, "customer", "c_custkey")
     quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
     idx = SpatialIndex.build(spark, pts, validate=False)
-    return idx.spatial_join(quads, how="within", validate=False)
+    return idx.spatial_join(quads, how="within", validate=False,
+                            big_kinds={3}, big_max_rings=1)
 
 
 def q_prox_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +118,7 @@ def q_prox_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _points_df(spark, sf_dir, "supplier", "s_suppkey")
     cust = _points_df(spark, sf_dir, "customer", "c_custkey")
     idx = SpatialIndex.build(spark, sup, max_distance=2.0, validate=False)
-    return idx.proximity_map(cust, validate=False)
+    return idx.proximity_map(cust, validate=False, big_kinds={0})
 
 
 def q_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -219,3 +219,48 @@ def test_sql_fast_path_matches_kernel_path(spark):
         idx.unpersist()
         assert fast == slow, how
         assert fast == slow_spatial_join(gb(rows), gb(rows), how)
+
+
+def test_sql_pip_and_prox_fast_paths(spark):
+    """The JVM-only PIP and point-distance fast paths must equal the
+    kernel path bit-for-bit (incl. points on/near boundaries)."""
+    rng = random.Random(57)
+    polys = []
+    for _ in range(30):
+        nv = rng.randint(3, 9)
+        r = rng.uniform(0.1, 1.5)
+        cx, cy = rng.uniform(-5, 5), rng.uniform(-5, 5)
+        pts = []
+        for i in range(nv):
+            a = 2 * math.pi * i / nv
+            pts += [cx + r * math.cos(a), cy + r * math.sin(a)]
+        polys.append((POLYGON, pts, [0]))
+    points = [(POINT, [rng.uniform(-5, 5), rng.uniform(-5, 5)]) for _ in range(200)]
+    # exact-boundary probes: vertices and edge midpoints of the first poly
+    pp = polys[0][1]
+    points += [(POINT, [pp[0], pp[1]]), (POINT, [(pp[0] + pp[2]) / 2, (pp[1] + pp[3]) / 2])]
+    small = geoms_to_df(spark, polys)
+    big = geoms_to_df(spark, points)
+    idx = SpatialIndex.build(spark, small, validate=False)
+    fast = sorted((r.big_id, r.small_id) for r in
+                  idx.spatial_join(big, how="contains", validate=False, big_kinds={POINT}).collect())
+    slow = sorted((r.big_id, r.small_id) for r in
+                  idx.spatial_join(big, how="contains", validate=False).collect())
+    assert fast == slow
+    idx.unpersist()
+    # within variant (points indexed, polygons probe)
+    idx2 = SpatialIndex.build(spark, big)
+    fast_w = sorted((r.big_id, r.small_id) for r in
+                    idx2.spatial_join(small, how="within", validate=False,
+                                      big_kinds={POLYGON}, big_max_rings=1).collect())
+    slow_w = sorted((r.big_id, r.small_id) for r in
+                    idx2.spatial_join(small, how="within", validate=False).collect())
+    assert fast_w == slow_w
+    idx2.unpersist()
+    # prox fast path with exact distance equality
+    sup = geoms_to_df(spark, points[:40])
+    idx3 = SpatialIndex.build(spark, sup, max_distance=1.5, validate=False)
+    fast_p = sorted(tuple(r) for r in idx3.proximity_map(big, validate=False, big_kinds={POINT}).collect())
+    slow_p = sorted(tuple(r) for r in idx3.proximity_map(big, validate=False, strategy="pairs").collect())
+    assert fast_p == slow_p
+    idx3.unpersist()

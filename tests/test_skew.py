@@ -64,3 +64,30 @@ def test_hot_cell_split_proximity(spark):
     got = sorted((r.big_id, r.small_id, r.distance) for r in b.proximity_map(big, validate=False).collect())
     b.unpersist()
     assert got == base
+
+
+def test_cogroup_strategy_matches_pairs(spark):
+    """The cogroup+STRtree path must produce identical results to the
+    candidate-pair path for joins and proximity maps, with and without
+    hot-cell splitting."""
+    rng = random.Random(91)
+    small_rows = _skewed_rows(rng, 150)
+    big_rows = _skewed_rows(rng, 150)
+    small = geoms_to_df(spark, small_rows)
+    big = geoms_to_df(spark, big_rows)
+    for kw in ({}, {"hot_threshold": 15}):
+        idx = SpatialIndex.build(spark, small, validate=False, **kw)
+        for how in ("intersects", "contains", "within"):
+            a = sorted((r.big_id, r.small_id) for r in
+                       idx.spatial_join(big, how=how, validate=False, strategy="pairs").collect())
+            b = sorted((r.big_id, r.small_id) for r in
+                       idx.spatial_join(big, how=how, validate=False, strategy="cogroup").collect())
+            assert a == b, (how, kw)
+        idx.unpersist()
+    idxp = SpatialIndex.build(spark, small, max_distance=0.4, validate=False, hot_threshold=15)
+    a = sorted((r.big_id, r.small_id, r.distance) for r in
+               idxp.proximity_map(big, validate=False, strategy="pairs").collect())
+    b = sorted((r.big_id, r.small_id, r.distance) for r in
+               idxp.proximity_map(big, validate=False, strategy="cogroup").collect())
+    idxp.unpersist()
+    assert a == b
