@@ -106,7 +106,8 @@ def worker(cpus: int) -> None:
 
     jobs = [
         ("pip_quad_x%d" % REP_PIP,
-         lambda: idx_quads.spatial_join(pip_probe, how="contains", validate=False)),
+         lambda: idx_quads.spatial_join(pip_probe, how="contains", validate=False,
+                                        big_kinds={0})),
         ("rects_intersect_x%d" % REP_RECTS,
          lambda: idx_parts.spatial_join(rect_probe, how="intersects",
                                         validate=False, big_kinds={4})),

@@ -156,23 +156,56 @@ def _build_batches(pdf):
     return A, B
 
 
-def _refine_input_cols(bc, extra):
+def _refine_input_cols(bc, extra, point_probe: bool = False):
     """Only the columns the refine kernel reads cross the (expensive)
     row->Arrow boundary: ids + probe geometry (+ carried small geometry
-    when there is no broadcast; + with_geos passthroughs)."""
-    cols = ["big_id", "small_id", "b_kind", "b_coords", "b_rings"]
+    when there is no broadcast; + with_geos passthroughs). All-point
+    probes decompose to two scalar doubles — cheaper through the Arrow
+    writer than a 2-element array."""
+    if point_probe:
+        cols = [
+            "big_id", "small_id",
+            F.element_at("b_coords", 1).alias("bx"),
+            F.element_at("b_coords", 2).alias("by"),
+        ]
+    else:
+        cols = ["big_id", "small_id", "b_kind", "b_coords", "b_rings"]
     if bc is None:
         cols += ["s_kind", "s_coords", "s_rings"]
-    return list(dict.fromkeys(cols + list(extra)))
+    seen = set()
+    out = []
+    for c in cols + list(extra):
+        key = c if isinstance(c, str) else str(c)
+        if key not in seen:
+            seen.add(key)
+            out.append(c)
+    return out
+
+
+def _point_batch(px, py):
+    n = len(px)
+    xs = np.asarray(px, dtype=np.float64)
+    ys = np.asarray(py, dtype=np.float64)
+    from .geom import POINT
+
+    return GeomBatch(
+        np.full(n, POINT, dtype=np.int8),
+        np.arange(n + 1, dtype=np.int64),
+        xs, ys,
+        np.zeros(n, dtype=np.int32), np.zeros(0, dtype=np.int64),
+    )
 
 
 def _refine_sides(pdf, small_geo_bc):
     """(A, ai, B) for a candidate batch: the small side comes from the
     broadcast GeomBatch (looked up by id) when available, else from the
-    carried columns."""
-    B = GeomBatch.from_columns(
-        pdf["b_kind"].to_numpy(), pdf["b_coords"].to_list(), pdf["b_rings"].to_list()
-    )
+    carried columns; all-point probes arrive as scalar bx/by."""
+    if "bx" in pdf.columns:
+        B = _point_batch(pdf["bx"].to_numpy(), pdf["by"].to_numpy())
+    else:
+        B = GeomBatch.from_columns(
+            pdf["b_kind"].to_numpy(), pdf["b_coords"].to_list(), pdf["b_rings"].to_list()
+        )
     if small_geo_bc is not None:
         ids, A = small_geo_bc.value
         ai = np.searchsorted(ids, pdf["small_id"].to_numpy())
@@ -547,6 +580,7 @@ class SpatialIndex:
         self, big_df: DataFrame, how: str = "intersects",
         with_geos: bool = False, validate: bool = True,
         big_kinds=None, big_max_rings: int | None = None, strategy: str = "auto",
+        prefer_sql_pip: bool = False,
     ) -> DataFrame:
         """DF[big_id, small_id] (+ geometry columns when with_geos),
         matching SJoinRow/SJoinGeoRow (src/structs.rs:369-401).
@@ -571,8 +605,13 @@ class SpatialIndex:
 
             sk = self._small_kinds()
             sqlpred = self._sql_predicate(how, sk, big_kinds)
-            if sqlpred is None and big_kinds is not None:
-                # point-in-(hole-less)-polygon entirely in the JVM
+            if sqlpred is None and big_kinds is not None and prefer_sql_pip:
+                # point-in-(hole-less)-polygon entirely in the JVM.
+                # Opt-in: interpreted higher-order expressions burn more
+                # CPU than the vectorized-kernel path (measured ~19 vs
+                # ~11 us/candidate) but never cross the Python boundary —
+                # preferable when Python workers are the contended
+                # resource (e.g. many concurrent jobs per executor).
                 if how == "contains" and sk == {KG} and set(big_kinds) == {KP} \
                         and self._small_max_rings <= 1:
                     sqlpred = self._sql_pip("s", "b")
@@ -593,7 +632,10 @@ class SpatialIndex:
         schema = T.StructType(fields)
         out_cols = ["big_id", "small_id"] + extra
         bc = self.small_geo_bc if not with_geos else None
-        cand = cand.select(*_refine_input_cols(bc, extra))
+        from .geom import POINT as KP
+
+        point_probe = not with_geos and big_kinds is not None and set(big_kinds) == {KP}
+        cand = cand.select(*_refine_input_cols(bc, extra, point_probe))
 
         def refine(iterator):
             for pdf in iterator:
@@ -657,7 +699,10 @@ class SpatialIndex:
         max_d = self.max_distance
         out_cols = ["big_id", "small_id"] + extra
         bc = self.small_geo_bc if not with_geos else None
-        cand = cand.select(*_refine_input_cols(bc, extra))
+        from .geom import POINT as KP2
+
+        point_probe = not with_geos and big_kinds is not None and set(big_kinds) == {KP2}
+        cand = cand.select(*_refine_input_cols(bc, extra, point_probe))
 
         def refine(iterator):
             for pdf in iterator:

@@ -243,7 +243,8 @@ def test_sql_pip_and_prox_fast_paths(spark):
     big = geoms_to_df(spark, points)
     idx = SpatialIndex.build(spark, small, validate=False)
     fast = sorted((r.big_id, r.small_id) for r in
-                  idx.spatial_join(big, how="contains", validate=False, big_kinds={POINT}).collect())
+                  idx.spatial_join(big, how="contains", validate=False, big_kinds={POINT},
+                                   prefer_sql_pip=True).collect())
     slow = sorted((r.big_id, r.small_id) for r in
                   idx.spatial_join(big, how="contains", validate=False).collect())
     assert fast == slow
@@ -252,7 +253,8 @@ def test_sql_pip_and_prox_fast_paths(spark):
     idx2 = SpatialIndex.build(spark, big)
     fast_w = sorted((r.big_id, r.small_id) for r in
                     idx2.spatial_join(small, how="within", validate=False,
-                                      big_kinds={POLYGON}, big_max_rings=1).collect())
+                                      big_kinds={POLYGON}, big_max_rings=1,
+                                      prefer_sql_pip=True).collect())
     slow_w = sorted((r.big_id, r.small_id) for r in
                     idx2.spatial_join(small, how="within", validate=False).collect())
     assert fast_w == slow_w
