@@ -153,14 +153,17 @@ def main() -> None:
         return
     n, n4 = 8, 32
     ceiling = machine_ceiling(n, n4)
-    # interleaved trials, best per level
-    r_n = run_level(n)
-    r_n4 = run_level(n4)
-    r_n2 = run_level(n)
-    r_n42 = run_level(n4)
+    # interleaved trials (3 JVMs per level), best per query per level —
+    # the VM has noisy-neighbor variance; best-of-N is the standard
+    # noise floor for throughput benchmarks
+    runs_n, runs_n4 = [], []
+    for _ in range(3):
+        runs_n.append(run_level(n))
+        runs_n4.append(run_level(n4))
+    r_n, r_n4 = runs_n[0], runs_n4[0]
     assert r_n["rows"] == r_n4["rows"], "results must be identical across levels"
-    best_n = {q: min(r_n["queries"][q], r_n2["queries"][q]) for q in r_n["queries"]}
-    best_n4 = {q: min(r_n4["queries"][q], r_n42["queries"][q]) for q in r_n4["queries"]}
+    best_n = {q: min(r["queries"][q] for r in runs_n) for q in r_n["queries"]}
+    best_n4 = {q: min(r["queries"][q] for r in runs_n4) for q in r_n4["queries"]}
     t_n = sum(best_n.values())
     t_n4 = sum(best_n4.values())
     eff = (t_n / t_n4) / (n4 / n)

@@ -25,7 +25,30 @@ from .geom import (
     validate_max_distance,
 )
 
+def __getattr__(name):
+    # lazy re-exports that need pyspark (keep bare `import spatialjoin`
+    # usable for the numpy-only kernel/oracle modules)
+    if name in ("SpatialIndex", "Config", "validate_geoms"):
+        from . import index
+
+        return getattr(index, name)
+    if name == "knn_join":
+        from .knn import knn_join
+
+        return knn_join
+    if name == "assign_tiles":
+        from .tiles import assign_tiles
+
+        return assign_tiles
+    raise AttributeError(name)
+
+
 __all__ = [
+    "SpatialIndex",
+    "Config",
+    "knn_join",
+    "assign_tiles",
+    "validate_geoms",
     "POINT",
     "LINE",
     "LINESTRING",

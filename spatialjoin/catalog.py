@@ -1,0 +1,87 @@
+"""Geo table storage: cell-prefix partitioned Parquet (Iceberg-ready).
+
+The north rule targets 10^12-row Iceberg image+caption tables. This
+sandbox has no Iceberg runtime jar (verified — SURVEY.md §7), so the
+layout is implemented on Parquet with the exact same table shape and
+partitioning; ``configure_iceberg`` documents the one-config switch
+when a jar is present. What carries over to Iceberg unchanged:
+
+  * partition column = coarse cell prefix (`cell_p`, the geometry's
+    center cell at a low resolution) — spatial locality on disk, and
+    Catalyst prunes partitions for extent-restricted scans (tested);
+  * the geometry column contract (kind/coords/rings) and the
+    image+caption schema (images.IMAGE_SCHEMA).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .grid import Grid
+from .index import _clamped_cell_coord
+
+PARTITION_RES = 3  # 8x8 = 64 spatial partitions by default
+
+
+def with_cell_prefix(df: DataFrame, grid: Grid, res: int = PARTITION_RES,
+                     x_expr=None, y_expr=None) -> DataFrame:
+    """Add the coarse partition cell `cell_p` from the geometry's bbox
+    center (pure JVM)."""
+    if x_expr is None:
+        xs = F.filter("coords", lambda _, i: i % 2 == 0)
+        ys = F.filter("coords", lambda _, i: i % 2 == 1)
+        x_expr = (F.array_min(xs) + F.array_max(xs)) / 2
+        y_expr = (F.array_min(ys) + F.array_max(ys)) / 2
+    n = 1 << res
+    cw, ch = grid.cell_size(res)
+    cx = _clamped_cell_coord(x_expr, grid.x0, cw, n)
+    cy = _clamped_cell_coord(y_expr, grid.y0, ch, n)
+    return df.withColumn("cell_p", F.shiftleft(cx, 29).bitwiseOR(cy).cast("long"))
+
+
+def write_geo_table(df: DataFrame, path: str, grid: Grid,
+                    res: int = PARTITION_RES, mode: str = "overwrite") -> None:
+    """Write a geometry table partitioned by coarse cell prefix."""
+    with_cell_prefix(df, grid, res).write.mode(mode).partitionBy("cell_p").parquet(path)
+
+
+def read_geo_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_geo_extent(spark: SparkSession, path: str, grid: Grid, extent,
+                    res: int = PARTITION_RES) -> DataFrame:
+    """Extent-restricted read: the cell_p predicate is a pure partition
+    filter, so Catalyst prunes non-overlapping directories at planning
+    time (verify with .explain: 'number of partitions read')."""
+    x0, y0, x1, y1 = extent
+    n = 1 << res
+    cw, ch = grid.cell_size(res)
+    cx0 = max(0, min(n - 1, int((x0 - grid.x0) / cw)))
+    cx1 = max(0, min(n - 1, int((x1 - grid.x0) / cw)))
+    cy0 = max(0, min(n - 1, int((y0 - grid.y0) / ch)))
+    cy1 = max(0, min(n - 1, int((y1 - grid.y0) / ch)))
+    cells = [
+        (cx << 29) | cy
+        for cx in range(cx0, cx1 + 1)
+        for cy in range(cy0, cy1 + 1)
+    ]
+    return spark.read.parquet(path).where(F.col("cell_p").isin(cells))
+
+
+def configure_iceberg(builder, catalog_name: str = "geo", warehouse: str | None = None):
+    """Session-builder config for an Iceberg catalog — usable verbatim
+    once `iceberg-spark-runtime` is on the classpath (not in this
+    sandbox). The write path then becomes
+    ``df.writeTo(f"{catalog}.db.tbl").partitionedBy(col('cell_p')).createOrReplace()``
+    with everything else unchanged."""
+    builder = (
+        builder.config(
+            f"spark.sql.catalog.{catalog_name}", "org.apache.iceberg.spark.SparkCatalog"
+        )
+        .config(f"spark.sql.catalog.{catalog_name}.type", "hadoop")
+    )
+    if warehouse:
+        builder = builder.config(f"spark.sql.catalog.{catalog_name}.warehouse", warehouse)
+    return builder

@@ -727,6 +727,27 @@ class SpatialIndex:
             self.small_fine.unpersist()
 
 
+class Config:
+    """API-parity shim mirroring the reference's builder
+    (src/structs.rs:36-78): ``Config().max_distance(d).serial(spark, small)``.
+    ``serial`` and ``parallel`` are the same thing here — Spark is
+    always parallel; the reference's serial-vs-parallel split maps to
+    our parallelism-invariance tests."""
+
+    def __init__(self):
+        self._max_distance = 0.0
+
+    def max_distance(self, d: float) -> "Config":
+        validate_max_distance(d)
+        self._max_distance = float(d)
+        return self
+
+    def serial(self, spark: SparkSession, small_df: DataFrame, **kw) -> "SpatialIndex":
+        return SpatialIndex.build(spark, small_df, max_distance=self._max_distance, **kw)
+
+    parallel = serial
+
+
 # -- validation op -----------------------------------------------------------
 
 def validate_geoms(df: DataFrame) -> None:
