@@ -102,6 +102,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40,
     stride = max(total // n_centroids, 1)
     cents = (
         emb.where(f"v_id % {stride} = 0 AND v_n > 0")
+        .orderBy("v_id")  # bare limit() takes arbitrary rows — keep deterministic
         .limit(n_centroids)
         .selectExpr("v_id AS c_id", "v_v AS c_v", "v_n AS c_n")
     )
