@@ -20,14 +20,42 @@ def _cross_indices(ns: int, nb: int):
     return ai, bi
 
 
-def slow_spatial_join(small: GeomBatch, big: GeomBatch, interaction: str):
+def _bbox_gate(small: GeomBatch, big: GeomBatch, ai, bi, buffer: float):
+    """Closed bbox-intersection prefilter — what the reference's R-tree
+    probe does before refining (src/index.rs:143-221, envelopes
+    buffered by max_distance at build, src/rtrees.rs:36-47)."""
+    sx0, sy0, sx1, sy1 = small.bbox()
+    bx0, by0, bx1, by1 = big.bbox()
+    return (
+        (sx0[ai] - buffer <= bx1[bi])
+        & (sx1[ai] + buffer >= bx0[bi])
+        & (sy0[ai] - buffer <= by1[bi])
+        & (sy1[ai] + buffer >= by0[bi])
+    )
+
+
+def slow_spatial_join(small: GeomBatch, big: GeomBatch, interaction: str,
+                      max_distance: float = 0.0):
     """Returns sorted list of (big_index, small_index).
 
     interaction: 'intersects' | 'contains' (small contains big) |
     'within' (small within big == big contains small); semantics per
     /root/reference/src/index.rs:505-533 and naive.rs:142-146.
+
+    DELIBERATE divergence from the reference's naive.rs oracle: pairs
+    are prefiltered by (buffered) bbox intersection, exactly like the
+    reference's PRODUCTION join (R-tree envelope probe). The two differ
+    only for triangle-vs-HOLED-polygon pairs with disjoint bboxes,
+    where the quirky rule at relates_impl.rs:359-367 reduces to
+    ``polygon.has_holes`` and naive.rs would emit a pair the reference
+    join itself can never produce (its proptest corpus is hole-less, so
+    the inconsistency is unreachable in its tests). We pin the
+    production-join behavior; the pairwise kernels keep the verbatim
+    quirk (tests/test_kernels.py::test_triangle_polygon_hole_quirk).
     """
     ai, bi = _cross_indices(len(small), len(big))
+    gate = _bbox_gate(small, big, ai, bi, max_distance)
+    ai, bi = ai[gate], bi[gate]
     if interaction == "intersects":
         mask = kernels.intersects(small, ai, big, bi)
     elif interaction == "contains":

@@ -266,3 +266,54 @@ def test_sql_pip_and_prox_fast_paths(spark):
     slow_p = sorted(tuple(r) for r in idx3.proximity_map(big, validate=False, strategy="pairs").collect())
     assert fast_p == slow_p
     idx3.unpersist()
+
+
+def _random_rows_with_holes(rng, n):
+    rows = _random_rows(rng, n)
+    out = []
+    for r in rows:
+        if r[0] == POLYGON and rng.random() < 0.5:
+            # punch a concentric half-scale hole (closed ring handling
+            # through Arrow/from_columns is what this exercises)
+            pts = r[1]
+            nv = len(pts) // 2
+            cx = sum(pts[0::2]) / nv
+            cy = sum(pts[1::2]) / nv
+            hole = []
+            for i in range(nv):
+                hole += [cx + (pts[2 * i] - cx) * 0.5, cy + (pts[2 * i + 1] - cy) * 0.5]
+            out.append((POLYGON, pts + hole, [0, nv]))
+        else:
+            out.append(r)
+    return out
+
+
+@pytest.mark.parametrize("seed,how", [(61, "intersects"), (62, "contains"), (63, "within")])
+def test_join_matches_oracle_with_holes(spark, seed, how):
+    rng = random.Random(seed)
+    small_rows = _random_rows_with_holes(rng, 35)
+    big_rows = _random_rows_with_holes(rng, 50)
+    want = slow_spatial_join(gb(small_rows), gb(big_rows), how)
+    got = run_join(spark, small_rows, big_rows, how)
+    assert got == want
+
+
+def test_prox_matches_oracle_with_holes(spark):
+    rng = random.Random(64)
+    small_rows = _random_rows_with_holes(rng, 30)
+    big_rows = _random_rows_with_holes(rng, 30)
+    want = slow_prox_map(gb(small_rows), gb(big_rows), 0.8)
+    got = run_prox(spark, small_rows, big_rows, 0.8)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2] and math.isclose(g[2], w[2], rel_tol=1e-12, abs_tol=1e-15)
+
+
+def test_join_matches_oracle_large(spark):
+    """Heavier randomized differential (300x400 mixed kinds)."""
+    rng = random.Random(65)
+    small_rows = _random_rows_with_holes(rng, 300)
+    big_rows = _random_rows_with_holes(rng, 400)
+    want = slow_spatial_join(gb(small_rows), gb(big_rows), "intersects")
+    got = run_join(spark, small_rows, big_rows, "intersects")
+    assert got == want

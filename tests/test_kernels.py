@@ -147,18 +147,33 @@ def test_degenerate_triangle_contains_only_equal_point():
 
 
 def test_triangle_polygon_hole_quirk():
-    """relates_impl.rs:359-367: any triangle 'intersects' a holed polygon
-    unless inside one of its holes; a triangle strictly inside a
-    hole-less polygon does NOT intersect it."""
+    """relates_impl.rs:359-367 (PAIRWISE truth table): because
+    LineString.Contains(Triangle) is constant false, ANY triangle
+    'intersects' ANY holed polygon (even one sitting inside a hole),
+    and a triangle strictly inside a hole-less polygon does NOT
+    intersect it.
+    The JOIN, however, never sees disjoint-bbox pairs (the reference's
+    R-tree probe gates them; see oracle.slow_spatial_join docstring)."""
+    import numpy as np
+
     far_tri = [(TRIANGLE, [100.0, 100.0, 101.0, 100.0, 100.0, 101.0])]
     square = [0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0]
     hole = [4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0]
     holed = [(POLYGON, square + hole, [0, 4])]
     plain = [(POLYGON, square, [0])]
-    assert slow_spatial_join(gb(far_tri), gb(holed), "intersects") == [(0, 0)]
+    z = np.zeros(1, dtype=np.int64)
+    # pairwise kernel: the verbatim quirk
+    assert kernels.intersects(gb(far_tri), z, gb(holed), z)[0]
+    assert not kernels.intersects(gb([(TRIANGLE, [1.0, 1.0, 2.0, 1.0, 1.0, 2.0])]), z,
+                                  gb(plain), z)[0]
+    # join semantics: bbox gate removes the unreachable disjoint pair
+    assert slow_spatial_join(gb(far_tri), gb(holed), "intersects") == []
+    # overlapping-bbox quirk pair IS emitted by the join
+    near_tri = [(TRIANGLE, [4.5, 4.5, 5.5, 4.5, 4.5, 5.5])]  # inside the hole region-ish
+    assert slow_spatial_join(gb(near_tri), gb(holed), "intersects") == [(0, 0)]
     inner_tri = [(TRIANGLE, [1.0, 1.0, 2.0, 1.0, 1.0, 2.0])]
     assert slow_spatial_join(gb(inner_tri), gb(plain), "intersects") == []
-    # scalar ref must agree with the quirk in both argument orders
+    # scalar ref must agree with the pairwise quirk in both orders
     assert scalar_ref.intersects(sref(far_tri)[0], sref(holed)[0])
     assert scalar_ref.intersects(sref(holed)[0], sref(far_tri)[0])
     assert not scalar_ref.intersects(sref(inner_tri)[0], sref(plain)[0])
