@@ -87,6 +87,48 @@ QUALIFY rank <= {k}
 """.strip()
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: str = "3e-1",
+                         every: int = 20) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) with
+    cosine >= threshold, a from the (vec_id % every == 0) anchor subset,
+    a < b. Quantized-exact cosines (see module docstring), so the DuckDB
+    oracle matches bit-for-bit. At scale the anchor subset becomes an
+    LSH/IVF bucket join; this is the exact small-scale twin."""
+    qs = _quantized(spark, sf_dir, "q").where(f"q_id % {every} = 0")
+    vs = _quantized(spark, sf_dir, "v")
+    pairs = vs.join(F.broadcast(qs), F.expr("q_n > 0 AND v_n > 0 AND q_id < v_id"))
+    return pairs.selectExpr(
+        "q_id AS a",
+        "v_id AS b",
+        "aggregate(zip_with(q_v, v_v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        " / sqrt(q_n * v_n) AS cosine",
+    ).where(f"cosine >= {threshold}")
+
+
+def oracle_embedding_near_dup(threshold: str = "3e-1", every: int = 20) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {QUANT}) / {QUANT}) AS qv
+  FROM embeddings WHERE vec_id % {every} = 0
+),
+v AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {QUANT}) / {QUANT}) AS vv
+  FROM embeddings
+),
+flat AS (
+  SELECT qid, vid, unnest(qv) AS qe, unnest(vv) AS ve FROM q, v WHERE qid < vid
+),
+dots AS (
+  SELECT qid, vid, sum(qe * ve) AS dot, sum(qe * qe) AS qn, sum(ve * ve) AS vn
+  FROM flat GROUP BY 1, 2
+)
+SELECT qid AS a, vid AS b, dot / sqrt(qn * vn) AS cosine
+FROM dots WHERE qn > 0 AND vn > 0 AND dot / sqrt(qn * vn) >= {threshold}
+""".strip()
+
+
 # -- IVF variant (scale path; benchmarked, not oracle-checked) -----------------
 
 

@@ -83,6 +83,12 @@ def knn_join(
 
 
 def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring, max_rounds):
+    if idx.small_fine is not None:
+        raise ValueError(
+            "knn_join requires a single-level index (hot-cell-split indexes "
+            "keep hot rows at a finer resolution the ring math doesn't probe); "
+            "build with hot_threshold=None"
+        )
     grid, res = idx.grid, idx.resolution
     n = 1 << res
     cw, ch = grid.cell_size(res)

@@ -14,7 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ann import oracle_ann_topk, q_ann_ivf, q_ann_lsh, q_ann_topk
+from .ann import (
+    oracle_ann_topk,
+    oracle_embedding_near_dup,
+    q_ann_ivf,
+    q_ann_lsh,
+    q_ann_topk,
+    q_embedding_near_dup,
+)
 from .index import SpatialIndex
 from .knn import knn_join
 from .textops import TEXT_ORACLES, TEXT_QUERIES
@@ -234,6 +241,7 @@ JOIN ser sx ON sx.i >= cx0 AND sx.i <= cx1
 JOIN ser sy ON sy.i >= cy0 AND sy.i <= cy1
 """.strip(),
         "ann_topk": oracle_ann_topk(),
+        "embedding_near_dup": oracle_embedding_near_dup(),
         **TEXT_ORACLES,
     }
 
@@ -268,6 +276,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "embedding_near_dup": q_embedding_near_dup,
     "images_pipeline": q_images_pipeline,
     **TEXT_QUERIES,
 }
