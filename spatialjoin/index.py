@@ -781,7 +781,8 @@ def validate_geoms(df: DataFrame) -> None:
             poly_small.alias("is_poly"),
             nonfinite.alias("is_nan"),
         )
-        .first()
+        .orderBy("id")  # the reference reports the FIRST bad position;
+        .first()        # the sort is over matches only (usually none)
     )
     if bad is None:
         return

@@ -47,3 +47,26 @@ def test_write_read_roundtrip_and_pruning(spark, tmp_path):
     # pruning is visible in the physical plan (fewer partitions read)
     plan = sub._jdf.queryExecution().executedPlan().toString()
     assert "cell_p" in plan
+
+
+def test_registered_sql_functions(spark):
+    from spatialjoin.functions import register_functions
+
+    register_functions(spark)
+    row = spark.sql(
+        "SELECT sj_intersects(4, array(0e0,0e0,2e0,2e0), array(), 0, array(1e0,1e0), array()) AS i,"
+        "       sj_contains(4, array(0e0,0e0,2e0,2e0), array(), 0, array(1e0,1e0), array()) AS c,"
+        "       sj_distance(0, array(0e0,0e0), array(), 0, array(3e0,4e0), array()) AS d,"
+        "       sj_cell_of(1e0, 1e0, 4, -10e0, -10e0, 10e0, 10e0) AS cell"
+    ).first()
+    assert row.i and row.c and row.d == 5.0
+    from spatialjoin.grid import Grid
+    import numpy as np
+
+    want = int(Grid((-10.0, -10.0, 10.0, 10.0)).cell_of(np.array([1.0]), np.array([1.0]), 4)[0])
+    assert row.cell == want
+    # quirk carries through SQL too: degenerate triangle contains equal point
+    row2 = spark.sql(
+        "SELECT sj_intersects(5, array(1e0,1e0,1e0,1e0,1e0,1e0), array(), 0, array(1e0,1e0), array()) AS q"
+    ).first()
+    assert row2.q
