@@ -242,8 +242,61 @@ JOIN ser sy ON sy.i >= cy0 AND sy.i <= cy1
 """.strip(),
         "ann_topk": oracle_ann_topk(),
         "embedding_near_dup": oracle_embedding_near_dup(),
+        "cell_counts": f"""
+WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
+cells AS (
+  SELECT c_custkey,
+         greatest(0, least({ncell}, CAST(floor((px - ({x0_sql})) / {ts_sql}) AS BIGINT))) AS tx,
+         greatest(0, least({ncell}, CAST(floor((py - ({y0_sql})) / {ts_sql}) AS BIGINT))) AS ty
+  FROM pts)
+SELECT tx, ty, count(*) AS n_customers FROM cells GROUP BY 1, 2
+""".strip(),
+        "top_tiles": f"""
+WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
+cells AS (
+  SELECT c_custkey,
+         greatest(0, least({ncell}, CAST(floor((px - ({x0_sql})) / {ts_sql}) AS BIGINT))) AS tx,
+         greatest(0, least({ncell}, CAST(floor((py - ({y0_sql})) / {ts_sql}) AS BIGINT))) AS ty
+  FROM pts)
+SELECT tx, ty, count(*) AS n_customers FROM cells GROUP BY 1, 2
+ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
+""".strip(),
+        "unmatched_customers": f"""
+WITH sup AS (SELECT s_suppkey, {px_s} AS px, {py_s} AS py FROM supplier),
+cst AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer)
+SELECT c_custkey FROM cst
+WHERE NOT EXISTS (
+  SELECT 1 FROM sup
+  WHERE sqrt((sup.px - cst.px) * (sup.px - cst.px) + (sup.py - cst.py) * (sup.py - cst.py)) <= 2e0
+)
+""".strip(),
         **TEXT_ORACLES,
     }
+
+
+def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a spatial op: customers per zoom-5 tile."""
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    tiles = assign_tiles(pts, zoom=TILE_ZOOM, extent=TILE_EXTENT, validate=False)
+    return tiles.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def q_top_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit over the aggregation: 10 densest tiles (deterministic
+    tie-break by coordinates)."""
+    return (
+        q_cell_counts(spark, sf_dir)
+        .orderBy(F.col("n_customers").desc(), F.col("tx").asc(), F.col("ty").asc())
+        .limit(10)
+    )
+
+
+def q_unmatched_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join semantics: customers with NO supplier within distance 2."""
+    cust = _points_df(spark, sf_dir, "customer", "c_custkey") \
+        .select(F.col("id").alias("c_custkey"))
+    prox = q_prox_points(spark, sf_dir).select("big_id")
+    return cust.join(prox, cust.c_custkey == prox.big_id, "left_anti").select("c_custkey")
 
 
 def q_images_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,6 +330,9 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embedding_near_dup": q_embedding_near_dup,
+    "cell_counts": q_cell_counts,
+    "top_tiles": q_top_tiles,
+    "unmatched_customers": q_unmatched_customers,
     "images_pipeline": q_images_pipeline,
     **TEXT_QUERIES,
 }
