@@ -9,14 +9,19 @@ fractions; products and partial sums stay EXACT in float64 (well under
 2^53), so dot products are identical regardless of summation order in
 either engine, and ranking ties are true ties (broken by vec_id).
 
-Scale paths (benchmarked, not oracle-checked): IVF-flat (deterministic
+Scale paths (oracle-checked since round 2): IVF-flat (deterministic
 coarse centroids + nprobe inverted lists) and multi-table
-random-hyperplane LSH. NOTE on this corpus: the synthetic embeddings
-are near-isotropic (true top-10 neighbors sit at cosine ~0.3 and only
-~11% share the query's label), so sublinear recall of the exact top-10
-is information-theoretically limited — measured recall ~0.4 for both
-variants at sf0.01 reflects the data, not the plumbing; on genuinely
-clustered embeddings the same code gives standard IVF/LSH behavior.
+random-hyperplane LSH. Both are fully deterministic, and the LSH
+hyperplane components are EXACT BINARY FRACTIONS (k/1024 - 1), so
+projections — sums of products of 2^-10-grid values — are exact in
+float64 and order-independent: the DuckDB oracles match bit-for-bit.
+NOTE on this corpus: the synthetic embeddings are near-isotropic (true
+top-10 neighbors sit at cosine ~0.3 and only ~11% share the query's
+label), so sublinear recall of the exact top-10 is
+information-theoretically limited — recall ~0.4 for both variants at
+sf0.01 reflects the data, not the plumbing (bench.py emits recall@k
+per round); on genuinely clustered embeddings the same code gives
+standard IVF/LSH behavior.
 """
 
 from __future__ import annotations
@@ -129,7 +134,7 @@ FROM dots WHERE qn > 0 AND vn > 0 AND dot / sqrt(qn * vn) >= {threshold}
 """.strip()
 
 
-# -- IVF variant (scale path; benchmarked, not oracle-checked) -----------------
+# -- IVF variant (scale path; oracle-checked) -----------------------------------
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40,
@@ -138,7 +143,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40,
     each vector assigned to its nearest centroid (one broadcast argmin
     pass), queries probe the `nprobe` nearest inverted lists. At scale
     the assignment is a map-side broadcast join and each probe touches
-    ~nprobe/C of the corpus."""
+    ~nprobe/C of the corpus. Quantized-exact cosines (module docstring)
+    make every comparison bit-identical to the DuckDB oracle."""
     emb = _quantized(spark, sf_dir, "v").persist()
     total = emb.count()
     stride = max(total // n_centroids, 1)
@@ -177,29 +183,144 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40,
     )
 
 
-# -- LSH-bucketed variant (scale path; benchmarked, not oracle-checked) --------
+def oracle_ann_ivf(k: int = 10, every: int = 40, n_centroids: int = 16,
+                   nprobe: int = 3) -> str:
+    """DuckDB twin of q_ann_ivf: same centroid stride, argmin
+    assignment, nprobe probing and quantized-exact cosines."""
+    return f"""
+WITH e AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {QUANT}) / {QUANT}) AS vv
+  FROM embeddings
+),
+vn AS (SELECT vid, vv, list_sum(list_transform(vv, x -> x * x)) AS n2 FROM e),
+cents AS (
+  SELECT vid AS cid, vv AS cv, n2 AS cn FROM vn
+  WHERE vid % (SELECT greatest(count(*) // {n_centroids}, 1) FROM embeddings) = 0
+    AND n2 > 0
+  ORDER BY vid LIMIT {n_centroids}
+),
+cflat AS (
+  SELECT v.vid, c.cid, unnest(v.vv) AS x, unnest(c.cv) AS y
+  FROM vn v, cents c WHERE v.n2 > 0
+),
+cdots AS (SELECT vid, cid, sum(x * y) AS dot FROM cflat GROUP BY 1, 2),
+ranked AS (
+  SELECT s.vid, s.cid,
+         row_number() OVER (
+           PARTITION BY s.vid
+           ORDER BY s.dot / sqrt(v.n2 * c.cn) DESC, s.cid ASC
+         ) AS crank
+  FROM cdots s JOIN vn v ON v.vid = s.vid JOIN cents c ON c.cid = s.cid
+),
+assigned AS (SELECT vid, cid FROM ranked WHERE crank = 1),
+probes AS (SELECT vid AS qid, cid FROM ranked WHERE crank <= {nprobe} AND vid % {every} = 0),
+cand AS (SELECT DISTINCT p.qid, a.vid FROM assigned a JOIN probes p ON a.cid = p.cid),
+flat AS (
+  SELECT c.qid, c.vid, unnest(q.vv) AS qe, unnest(b.vv) AS ve
+  FROM cand c JOIN vn q ON q.vid = c.qid JOIN vn b ON b.vid = c.vid
+),
+dots AS (SELECT qid, vid, sum(qe * ve) AS dot FROM flat GROUP BY 1, 2),
+scored AS (
+  SELECT d.qid AS query_id, d.vid AS neighbor_id, d.dot / sqrt(q.n2 * b.n2) AS cosine
+  FROM dots d JOIN vn q ON q.vid = d.qid JOIN vn b ON b.vid = d.vid
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+""".strip()
+
+
+def oracle_ann_lsh(k: int = 10, every: int = 40, n_planes: int = None,
+                   n_tables: int = None) -> str:
+    """DuckDB twin of q_ann_lsh: identical exact-binary hyperplanes,
+    band self-join and quantized-exact cosine ranking."""
+    n_planes = N_PLANES if n_planes is None else n_planes
+    n_tables = N_TABLES if n_tables is None else n_tables
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            proj = _plane_proj_sql(_plane_seed(t, p), "vv", "duckdb")
+            terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT vid, n2, {t} AS tbl, {bucket_expr(t)} AS bucket FROM vn"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {QUANT}) / {QUANT}) AS vv
+  FROM embeddings
+),
+vn AS (SELECT vid, vv, list_sum(list_transform(vv, x -> x * x)) AS n2 FROM e),
+bands AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT q.vid AS qid, x.vid AS vid2
+  FROM bands x JOIN bands q ON x.tbl = q.tbl AND x.bucket = q.bucket
+  WHERE q.vid % {every} = 0 AND q.n2 > 0 AND x.n2 > 0
+),
+flat AS (
+  SELECT c.qid, c.vid2, unnest(a.vv) AS qe, unnest(b.vv) AS ve
+  FROM cand c JOIN vn a ON a.vid = c.qid JOIN vn b ON b.vid = c.vid2
+),
+dots AS (SELECT qid, vid2, sum(qe * ve) AS dot FROM flat GROUP BY 1, 2),
+scored AS (
+  SELECT d.qid AS query_id, d.vid2 AS neighbor_id, d.dot / sqrt(a.n2 * b.n2) AS cosine
+  FROM dots d JOIN vn a ON a.vid = d.qid JOIN vn b ON b.vid = d.vid2
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+""".strip()
+
+N_PLANES = 5
+N_TABLES = 4
+
+
+def _plane_seed(t: int, p: int) -> int:
+    """Small reduced seed for (table, plane): hyperplane component for
+    dim d is ((seed + d*433) % 2048) / 1024 - 1, an EXACT binary
+    fraction (433 = 2654435761 mod 2048; reduction mod 2048 keeps the
+    literals small and the arithmetic identical in Spark and DuckDB)."""
+    return ((t * 7919 + p) * 1315423911) % 2048
+
+
+def _plane_proj_sql(seed: int, vec: str, engine: str) -> str:
+    """Projection of `vec` onto the (exact-binary) hyperplane — shared
+    math, per-engine array syntax."""
+    comp = f"((({seed} + d * 433) % 2048) / 1024e0 - 1e0)"
+    if engine == "spark":
+        return (
+            f"aggregate(zip_with({vec}, sequence(0, size({vec}) - 1), (x, d) -> "
+            f"x * {comp}), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    # duckdb: list_sum over a zip of the vector with its 0-based index
+    return (
+        f"list_sum(list_transform(generate_series(0, len({vec}) - 1), "
+        f"d -> {vec}[d + 1] * {comp}))"
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40,
-              n_planes: int = 5, n_tables: int = 4) -> DataFrame:
+              n_planes: int = N_PLANES, n_tables: int = N_TABLES) -> DataFrame:
     """Multi-table random-hyperplane LSH: per table t, bucket = sign
     bits of projections onto deterministic pseudo-random hyperplanes
     (hash-derived, no RNG state); candidates = union over tables of
     same-(table, bucket) vectors. Approximate by construction — recall
-    grows with n_tables, probe cost with 1/2^n_planes."""
+    grows with n_tables, probe cost with 1/2^n_planes. Hyperplane
+    components are exact binary fractions so bucket assignment (and
+    hence output) is bit-identical to the DuckDB oracle."""
     emb = _quantized(spark, sf_dir, "v")
 
     def bucket_expr(t: int) -> str:
-        # hyperplane component for (table t, plane p, dim d):
-        # ((seed(t,p) + d * 2654435761) % 2001) / 1000 - 1  in [-1, 1]
         terms = []
         for p in range(n_planes):
-            seed = t * 7919 + p
-            proj = (
-                f"aggregate(zip_with(v_v, sequence(0, size(v_v) - 1), (x, d) -> "
-                f"x * (((CAST({seed} AS BIGINT) * 1315423911 + CAST(d AS BIGINT) * 2654435761)"
-                f" % 2001) / 1e3 - 1e0)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-            )
+            proj = _plane_proj_sql(_plane_seed(t, p), "v_v", "spark")
             terms.append(f"CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END")
         return " + ".join(terms)
 

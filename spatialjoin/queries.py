@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ann import (
+    oracle_ann_ivf,
+    oracle_ann_lsh,
     oracle_ann_topk,
     oracle_embedding_near_dup,
     q_ann_ivf,
@@ -169,6 +171,66 @@ WHERE ((cx) - (cx + a)) * (py - cy) - ((cy + b) - cy) * (px - (cx + a)) > 0
 """.strip()
 
 
+def oracle_images_pipeline(n: int = 512) -> str:
+    """DuckDB twin of q_images_pipeline. The synth image table is a
+    deterministic function of the row index (images.py:105-138), so the
+    whole pipeline output (big_id, small_id, n_tiles) is re-derivable
+    from generate_series without any binary column: footprint rhombus
+    centers/half-sizes from the index hash, the caption point via the
+    exact %.6f round-trip the caption text applies, strict-interior PIP
+    (same cross-product form as the quad oracles), and zoom-4 tile
+    counts via the closed-rhombus/rect distance form min over the tile
+    of |dx|/hx + |dy|/hy <= 1 over the engine's bbox tile covering."""
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+img AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+         CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 48 END AS h,
+         ((i * 2654435761) % 1000000) / 1e6 * 20e0 - 10e0 AS lon,
+         ((i * 40503) % 1000000) / 1e6 * 20e0 - 10e0 AS lat
+  FROM ids
+),
+fp AS (
+  SELECT i, lon, lat, w / 64e0 * 3e-1 AS hx, h / 64e0 * 3e-1 AS hy FROM img
+),
+pts AS (
+  SELECT i AS pi,
+         CAST(printf('%.6f', lon) AS DOUBLE) AS px,
+         CAST(printf('%.6f', lat) AS DOUBLE) AS py
+  FROM img
+),
+pairs AS (
+  SELECT pts.pi AS big_id, fp.i AS small_id
+  FROM pts, fp
+  WHERE ((lon) - (lon + hx)) * (py - lat) - ((lat + hy) - lat) * (px - (lon + hx)) > 0
+    AND ((lon - hx) - lon) * (py - (lat + hy)) - (lat - (lat + hy)) * (px - lon) > 0
+    AND (lon - (lon - hx)) * (py - lat) - ((lat - hy) - lat) * (px - (lon - hx)) > 0
+    AND ((lon + hx) - lon) * (py - (lat - hy)) - (lat - (lat - hy)) * (px - lon) > 0
+),
+cov AS (
+  SELECT i, lon, lat, hx, hy,
+         greatest(0, least(15, CAST(floor(((lon - hx) - (-16e0)) / 2e0) AS BIGINT))) AS cx0,
+         greatest(0, least(15, CAST(floor(((lon + hx) - (-16e0)) / 2e0) AS BIGINT))) AS cx1,
+         greatest(0, least(15, CAST(floor(((lat - hy) - (-16e0)) / 2e0) AS BIGINT))) AS cy0,
+         greatest(0, least(15, CAST(floor(((lat + hy) - (-16e0)) / 2e0) AS BIGINT))) AS cy1
+  FROM fp
+),
+ser AS (SELECT unnest(generate_series(0, 15)) AS t),
+tiles AS (
+  SELECT cov.i
+  FROM cov
+  JOIN ser sx ON sx.t >= cx0 AND sx.t <= cx1
+  JOIN ser sy ON sy.t >= cy0 AND sy.t <= cy1
+  WHERE (greatest(0e0, (-16e0 + sx.t * 2e0) - lon, lon - (-16e0 + (sx.t + 1) * 2e0)) / hx
+       + greatest(0e0, (-16e0 + sy.t * 2e0) - lat, lat - (-16e0 + (sy.t + 1) * 2e0)) / hy) <= 1e0
+),
+tc AS (SELECT i, count(*) AS n_tiles FROM tiles GROUP BY 1)
+SELECT pairs.big_id, pairs.small_id, tc.n_tiles
+FROM pairs JOIN tc ON tc.i = pairs.small_id
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
     px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
@@ -241,6 +303,8 @@ JOIN ser sx ON sx.i >= cx0 AND sx.i <= cx1
 JOIN ser sy ON sy.i >= cy0 AND sy.i <= cy1
 """.strip(),
         "ann_topk": oracle_ann_topk(),
+        "ann_ivf": oracle_ann_ivf(),
+        "ann_lsh": oracle_ann_lsh(),
         "embedding_near_dup": oracle_embedding_near_dup(),
         "cell_counts": f"""
 WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
@@ -261,6 +325,7 @@ cells AS (
 SELECT tx, ty, count(*) AS n_customers FROM cells GROUP BY 1, 2
 ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
 """.strip(),
+        "images_pipeline": oracle_images_pipeline(),
         "unmatched_customers": f"""
 WITH sup AS (SELECT s_suppkey, {px_s} AS px, {py_s} AS py FROM supplier),
 cst AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer)
@@ -300,9 +365,11 @@ def q_unmatched_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_images_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline demo (rows-only check: binary payloads have
-    no SQL oracle): synth image table -> footprints + caption points ->
-    PIP join through the engine -> per-image tile counts at zoom 4."""
+    """Multimodal pipeline: synth image table -> footprints + caption
+    points -> PIP join through the engine -> per-image tile counts at
+    zoom 4. Oracle-checked: the output is a deterministic function of
+    the row index (see oracle_images_pipeline), no binary column needs
+    to cross into DuckDB."""
     from .images import caption_points, footprints, synth_images
 
     imgs = synth_images(spark, 512).persist()
