@@ -43,6 +43,11 @@ QB = "5e-1 + ({k} % 11) / 11e0 * 15e-1"
 # rect half-sizes
 RA = "2e-2 + ({k} % 97) / 97e0 * 18e-2"
 RB = "2e-2 + ({k} % 89) / 89e0 * 18e-2"
+# line / linestring segment deltas (span ~0.8)
+DX1 = "(({k} % 19) / 19e0 - 5e-1) * 8e-1"
+DY1 = "(({k} % 23) / 23e0 - 5e-1) * 8e-1"
+DX2 = "(({k} % 29) / 29e0 - 5e-1) * 8e-1"
+DY2 = "(({k} % 31) / 31e0 - 5e-1) * 8e-1"
 
 TILE_EXTENT = (-16.0, -16.0, 16.0, 16.0)
 TILE_ZOOM = 5
@@ -79,6 +84,45 @@ def _quads_df(spark, sf_dir, table, key) -> DataFrame:
         f"array(({px}) + ({a}), ({py}), ({px}), ({py}) + ({b}), "
         f"({px}) - ({a}), ({py}), ({px}), ({py}) - ({b}), ({px}) + ({a}), ({py})) as coords",
         "array(0) as rings",
+    )
+
+
+def _paths_df(spark, sf_dir, table, key, id_expr=None) -> DataFrame:
+    """3-point LINESTRING (2 segments): p0, p0+d1, p0+d1+d2."""
+    x0, y0 = PX.format(k=key), PY.format(k=key)
+    dx1, dy1 = DX1.format(k=key), DY1.format(k=key)
+    dx2, dy2 = DX2.format(k=f"({key} + 7)"), DY2.format(k=f"({key} + 7)")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet").selectExpr(
+        f"{id_expr or key} as id",
+        "2 as kind",
+        f"array({x0}, {y0}, ({x0}) + ({dx1}), ({y0}) + ({dy1}), "
+        f"(({x0}) + ({dx1})) + ({dx2}), (({y0}) + ({dy1})) + ({dy2})) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def _lines_df(spark, sf_dir, table, key) -> DataFrame:
+    """2-point LINE segment: p0 to p0+d1."""
+    x0, y0 = PX.format(k=key), PY.format(k=key)
+    dx1, dy1 = DX1.format(k=key), DY1.format(k=key)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet").selectExpr(
+        f"{key} as id",
+        "1 as kind",
+        f"array({x0}, {y0}, ({x0}) + ({dx1}), ({y0}) + ({dy1})) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def _tris_df(spark, sf_dir, table, key) -> DataFrame:
+    """CCW triangle: (cx-a, cy-b), (cx+a, cy-b), (cx, cy+b)."""
+    cx, cy = PX.format(k=key), PY.format(k=key)
+    a, b = QA.format(k=key), QB.format(k=key)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet").selectExpr(
+        f"{key} as id",
+        "5 as kind",
+        f"array(({cx}) - ({a}), ({cy}) - ({b}), ({cx}) + ({a}), ({cy}) - ({b}), "
+        f"({cx}), ({cy}) + ({b})) as coords",
+        "cast(null as array<int>) as rings",
     )
 
 
@@ -138,6 +182,59 @@ def q_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("big_id", "small_id", "distance", "rank")
 
 
+def q_paths_intersect_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINESTRING kind through the real engine (kernel refine, not a SQL
+    fast path): 2-segment order paths vs the part-rect index."""
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    paths = _paths_df(spark, sf_dir, "orders", "o_orderkey")
+    idx = SpatialIndex.build(spark, rects, validate=False)
+    return idx.spatial_join(paths, how="intersects", validate=False, big_kinds={2})
+
+
+def q_lines_intersect_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE kind through the engine: single-segment supplier lines vs
+    the part-rect index."""
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    lines = _lines_df(spark, sf_dir, "supplier", "s_suppkey")
+    idx = SpatialIndex.build(spark, rects, validate=False)
+    return idx.spatial_join(lines, how="intersects", validate=False, big_kinds={1})
+
+
+def q_tris_contain_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE kind through the engine: supplier triangles CONTAIN
+    customer points (geo same-side test, boundary-inclusive)."""
+    tris = _tris_df(spark, sf_dir, "supplier", "s_suppkey")
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, tris, validate=False)
+    return idx.spatial_join(pts, how="contains", validate=False, big_kinds={0})
+
+
+def q_lines_prox_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity with a non-point indexed side: supplier LINE segments
+    within distance 1 of customer points (exact point-segment
+    distance through the distance kernel)."""
+    lines = _lines_df(spark, sf_dir, "supplier", "s_suppkey")
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, lines, max_distance=1.0, validate=False)
+    return idx.proximity_map(pts, validate=False, big_kinds={0})
+
+
+def q_prox_with_geos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """with_geos variant (src/index.rs:449-475): the proximity join
+    returns both sides' geometry columns through the Arrow refine; the
+    oracle-checkable projection unpacks them to scalars, proving the
+    geometry round-tripped with the pair rows."""
+    sup = _points_df(spark, sf_dir, "supplier", "s_suppkey")
+    cust = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, sup, max_distance=2.0, validate=False)
+    out = idx.proximity_map(cust, with_geos=True, validate=False, big_kinds={0})
+    return out.selectExpr(
+        "big_id", "small_id", "distance", "b_kind", "s_kind",
+        "element_at(b_coords, 1) AS bpx", "element_at(b_coords, 2) AS bpy",
+        "element_at(s_coords, 1) AS spx", "element_at(s_coords, 2) AS spy",
+    )
+
+
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster-tile <-> vector assignment of part rects at zoom 5."""
     rects = _rects_df(spark, sf_dir, "part", "p_partkey")
@@ -168,6 +265,128 @@ WHERE ((cx) - (cx + a)) * (py - cy) - ((cy + b) - cy) * (px - (cx + a)) > 0
   AND ((cx - a) - cx) * (py - (cy + b)) - (cy - (cy + b)) * (px - cx) > 0
   AND (cx - (cx - a)) * (py - cy) - ((cy - b) - cy) * (px - (cx - a)) > 0
   AND ((cx + a) - cx) * (py - (cy - b)) - (cy - (cy - b)) * (px - cx) > 0
+""".strip()
+
+
+def _seg_rect_sat() -> str:
+    """Closed segment-vs-closed-rect intersection as a separating-axis
+    predicate over CTE columns (ax, ay, bx2, by2) x (xmin, ymin, xmax,
+    ymax): bbox overlap AND the four rect corners not all strictly on
+    one side of the segment's supporting line. Exact-arithmetic
+    equivalent of the engine's segs-cross-or-vertex-in composite
+    (kernels._generic_area_intersect)."""
+    def c(px, py):
+        return f"((bx2 - ax) * (({py}) - ay) - (by2 - ay) * (({px}) - ax))"
+
+    corners = [c("xmin", "ymin"), c("xmax", "ymin"), c("xmax", "ymax"), c("xmin", "ymax")]
+    all_pos = " AND ".join(f"{t} > 0" for t in corners)
+    all_neg = " AND ".join(f"{t} < 0" for t in corners)
+    return (
+        "least(ax, bx2) <= xmax AND greatest(ax, bx2) >= xmin\n"
+        "  AND least(ay, by2) <= ymax AND greatest(ay, by2) >= ymin\n"
+        f"  AND NOT ({all_pos})\n  AND NOT ({all_neg})"
+    )
+
+
+def _oracle_paths_rects() -> str:
+    k = "o_orderkey"
+    x0, y0 = PX.format(k=k), PY.format(k=k)
+    dx1, dy1 = DX1.format(k=k), DY1.format(k=k)
+    dx2, dy2 = DX2.format(k=f"({k} + 7)"), DY2.format(k=f"({k} + 7)")
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra, rb = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    # AS MATERIALIZED: DuckDB 1.0's IEJoin over an inlined UNION ALL CTE
+    # trips an internal "flat vector" assertion; materializing the CTE
+    # sidesteps it without changing results.
+    return f"""
+WITH pt AS MATERIALIZED (SELECT o_orderkey AS lid, {x0} AS x0, {y0} AS y0,
+                   {dx1} AS dx1, {dy1} AS dy1, {dx2} AS dx2, {dy2} AS dy2 FROM orders),
+segs AS MATERIALIZED (
+  SELECT lid, x0 AS ax, y0 AS ay, (x0) + (dx1) AS bx2, (y0) + (dy1) AS by2 FROM pt
+  UNION ALL
+  SELECT lid, (x0) + (dx1), (y0) + (dy1),
+         ((x0) + (dx1)) + (dx2), ((y0) + (dy1)) + (dy2) FROM pt
+),
+rc AS (SELECT p_partkey,
+              ({px_p}) - ({ra}) AS xmin, ({py_p}) - ({rb}) AS ymin,
+              ({px_p}) + ({ra}) AS xmax, ({py_p}) + ({rb}) AS ymax FROM part)
+SELECT DISTINCT segs.lid AS big_id, rc.p_partkey AS small_id
+FROM segs JOIN rc
+  ON {_seg_rect_sat()}
+""".strip()
+
+
+def _oracle_lines_rects() -> str:
+    k = "s_suppkey"
+    x0, y0 = PX.format(k=k), PY.format(k=k)
+    dx1, dy1 = DX1.format(k=k), DY1.format(k=k)
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra, rb = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    # AS MATERIALIZED: same DuckDB 1.0 IEJoin workaround as _oracle_paths_rects
+    return f"""
+WITH segs AS MATERIALIZED (SELECT s_suppkey AS lid, {x0} AS ax, {y0} AS ay,
+                     ({x0}) + ({dx1}) AS bx2, ({y0}) + ({dy1}) AS by2 FROM supplier),
+rc AS (SELECT p_partkey,
+              ({px_p}) - ({ra}) AS xmin, ({py_p}) - ({rb}) AS ymin,
+              ({px_p}) + ({ra}) AS xmax, ({py_p}) + ({rb}) AS ymax FROM part)
+SELECT segs.lid AS big_id, rc.p_partkey AS small_id
+FROM segs JOIN rc
+  ON {_seg_rect_sat()}
+""".strip()
+
+
+def _oracle_tris_points() -> str:
+    px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
+    cx, cy = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    return f"""
+WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
+tri AS (SELECT s_suppkey,
+               ({cx}) - ({a}) AS v0x, ({cy}) - ({b}) AS v0y,
+               ({cx}) + ({a}) AS v1x, ({cy}) - ({b}) AS v1y,
+               ({cx}) AS v2x, ({cy}) + ({b}) AS v2y FROM supplier),
+d AS (SELECT c_custkey, s_suppkey,
+             (v1x - v0x) * (py - v0y) - (v1y - v0y) * (px - v0x) AS d1,
+             (v2x - v1x) * (py - v1y) - (v2y - v1y) * (px - v1x) AS d2,
+             (v0x - v2x) * (py - v2y) - (v0y - v2y) * (px - v2x) AS d3
+      FROM pts, tri)
+SELECT c_custkey AS big_id, s_suppkey AS small_id FROM d
+WHERE NOT ((d1 < 0 OR d2 < 0 OR d3 < 0) AND (d1 > 0 OR d2 > 0 OR d3 > 0))
+""".strip()
+
+
+def _oracle_lines_prox() -> str:
+    k = "s_suppkey"
+    x0, y0 = PX.format(k=k), PY.format(k=k)
+    dx1, dy1 = DX1.format(k=k), DY1.format(k=k)
+    px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
+    return f"""
+WITH ln AS (SELECT s_suppkey, {x0} AS ax, {y0} AS ay,
+                   ({x0}) + ({dx1}) AS bx2, ({y0}) + ({dy1}) AS by2 FROM supplier),
+pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
+base AS (SELECT c_custkey, s_suppkey, px, py, ax, ay,
+                bx2 - ax AS dx, by2 - ay AS dy FROM pts, ln),
+tt AS (SELECT *, least(greatest(((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy), 0e0), 1e0) AS t
+       FROM base),
+prj AS (SELECT c_custkey, s_suppkey, px - (ax + t * dx) AS ex, py - (ay + t * dy) AS ey FROM tt)
+SELECT c_custkey AS big_id, s_suppkey AS small_id,
+       sqrt(ex * ex + ey * ey) AS distance
+FROM prj WHERE sqrt(ex * ex + ey * ey) <= 1e0
+""".strip()
+
+
+def _oracle_prox_with_geos() -> str:
+    px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    return f"""
+WITH sup AS (SELECT s_suppkey, {px_s} AS px, {py_s} AS py FROM supplier),
+cst AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer)
+SELECT cst.c_custkey AS big_id, sup.s_suppkey AS small_id,
+       sqrt((sup.px - cst.px) * (sup.px - cst.px) + (sup.py - cst.py) * (sup.py - cst.py)) AS distance,
+       0 AS b_kind, 0 AS s_kind,
+       cst.px AS bpx, cst.py AS bpy, sup.px AS spx, sup.py AS spy
+FROM sup, cst
+WHERE sqrt((sup.px - cst.px) * (sup.px - cst.px) + (sup.py - cst.py) * (sup.py - cst.py)) <= 2e0
 """.strip()
 
 
@@ -326,6 +545,11 @@ SELECT tx, ty, count(*) AS n_customers FROM cells GROUP BY 1, 2
 ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
 """.strip(),
         "images_pipeline": oracle_images_pipeline(),
+        "paths_intersect_rects": _oracle_paths_rects(),
+        "lines_intersect_rects": _oracle_lines_rects(),
+        "tris_contain_points": _oracle_tris_points(),
+        "lines_prox_points": _oracle_lines_prox(),
+        "prox_with_geos": _oracle_prox_with_geos(),
         "unmatched_customers": f"""
 WITH sup AS (SELECT s_suppkey, {px_s} AS px, {py_s} AS py FROM supplier),
 cst AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer)
@@ -391,6 +615,11 @@ QUERIES = {
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
     "prox_points": q_prox_points,
+    "paths_intersect_rects": q_paths_intersect_rects,
+    "lines_intersect_rects": q_lines_intersect_rects,
+    "tris_contain_points": q_tris_contain_points,
+    "lines_prox_points": q_lines_prox_points,
+    "prox_with_geos": q_prox_with_geos,
     "knn_points": q_knn_points,
     "tile_assign": q_tile_assign,
     "ann_topk": q_ann_topk,
