@@ -36,18 +36,23 @@ from .grid import Grid
 from .index import SpatialIndex, _prefixed, _refine_sides, with_bbox, with_cells, validate_geoms
 
 
-def _ring_expand(df: DataFrame, r: int, n: int) -> DataFrame:
-    """Expand each (cx, cy) covering cell by Chebyshev ring r — JVM only."""
+def _ring_expand(df: DataFrame, r: int, n: int, res: int) -> DataFrame:
+    """Expand each (cx, cy) covering cell by Chebyshev ring r — JVM only.
+    Output rows carry (cx, cy, cell) of the RING cell."""
     if r <= 0:
-        return df.withColumn(
-            "cell_r",
-            F.col("cell"),
-        ).drop("cell").withColumnRenamed("cell_r", "cell")
+        return df
     df = df.withColumn("dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
     df = df.withColumn("dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
     df = df.withColumn("ncx", F.col("cx") + F.col("dx")).withColumn("ncy", F.col("cy") + F.col("dy"))
     df = df.where((F.col("ncx") >= 0) & (F.col("ncx") < n) & (F.col("ncy") >= 0) & (F.col("ncy") < n))
-    return df.drop("cell", "dx", "dy")
+    df = df.drop("cell", "dx", "dy", "cx", "cy")
+    df = df.withColumnRenamed("ncx", "cx").withColumnRenamed("ncy", "cy")
+    return df.withColumn(
+        "cell",
+        F.lit(res << 58).cast("long")
+        .bitwiseOR(F.shiftleft(F.col("cx"), 29))
+        .bitwiseOR(F.col("cy")),
+    )
 
 
 def knn_join(
@@ -61,34 +66,41 @@ def knn_join(
     validate: bool = True,
     initial_ring: int | None = None,
     max_rounds: int = 12,
+    hot_threshold: int | None = None,
+    split_steps: int = 2,
+    big_kinds=None,
 ) -> DataFrame:
-    """k nearest small geometries for every big geometry."""
+    """k nearest small geometries for every big geometry.
+
+    ``hot_threshold`` enables the same hot-cell splitting spatial_join
+    uses: the ring search probes cold cells at the base resolution and
+    expands hot parents to ALL their fine subcells, so kNN composes
+    with skew handling (results are invariant to the split)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     idx = SpatialIndex.build(
         spark, small_df, max_distance=0.0, extent=extent, resolution=resolution,
         broadcast=broadcast, validate=validate,
+        hot_threshold=hot_threshold, split_steps=split_steps,
     )
     if initial_ring is None:
         # size ring 0 so the expected candidate count per probe is ~2k:
         # ring r scans (2r+1)^2 cells at density n_small / 4^res
         n_cells = float(4 ** idx.resolution)
         n_small = idx.small_cells.count()  # cached; cheap
+        if idx.small_fine is not None:
+            n_small += idx.small_fine.count()
         density = max(n_small / n_cells, 1e-12)
         initial_ring = int(np.clip(np.ceil((np.sqrt(2.0 * k / density) - 1.0) / 2.0), 1, 1 << idx.resolution))
-    try:
-        return _knn_with_index(spark, idx, big_df, k, validate, initial_ring, max_rounds)
-    finally:
-        pass  # caller may still consume the (lazy) result; index stays cached
+    return _knn_with_index(spark, idx, big_df, k, validate, initial_ring,
+                           max_rounds, big_kinds=big_kinds)
 
 
-def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring, max_rounds):
-    if idx.small_fine is not None:
-        raise ValueError(
-            "knn_join requires a single-level index (hot-cell-split indexes "
-            "keep hot rows at a finer resolution the ring math doesn't probe); "
-            "build with hot_threshold=None"
-        )
+def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
+                    max_rounds, big_kinds=None):
+    from .geom import POINT as KP
+
+    point_probe = big_kinds is not None and set(big_kinds) == {KP}
     grid, res = idx.grid, idx.resolution
     n = 1 << res
     cw, ch = grid.cell_size(res)
@@ -103,9 +115,12 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
     b_base = b.persist()
 
     small = idx.small_cells
+    small_fine = idx.small_fine
     bc = idx.small_geo_bc
     if bc is not None:
         small = small.drop("s_kind", "s_coords", "s_rings")
+        if small_fine is not None:
+            small_fine = small_fine.drop("s_kind", "s_coords", "s_rings")
     out_schema = T.StructType(
         [
             T.StructField("big_id", T.LongType(), False),
@@ -125,37 +140,57 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
             out["distance"] = d
             yield out
 
+    from .index import _refine_input_cols
+
+    def bcast(df):
+        return F.broadcast(df) if idx.broadcast_small else df
+
+    refine_cols = _refine_input_cols(bc, [], point_probe=point_probe)
+
     results = []
+    cached = [b_base]
     pending = b_base
     r = initial_ring
     rounds = 0
     while True:
         rounds += 1
         probe = with_cells(pending, "b", grid, res, keep_cxy=True)
-        probe = _ring_expand(probe, r, n)
-        if r > 0:
-            probe = probe.withColumn(
+        probe = _ring_expand(probe, r, n, res)
+        cand = probe.join(bcast(small), on="cell", how="inner").select(*refine_cols)
+        if small_fine is not None:
+            # hot parents in the ring probe ALL their fine subcells, so
+            # every hot-cell small row within Chebyshev ring r is still a
+            # candidate and the done-criterion bound is unchanged
+            ks = idx.fine_resolution - res
+            ph = probe.join(F.broadcast(idx.hot_cells), "cell", "left_semi").drop("cell")
+            ph = ph.withColumn(
+                "fcx",
+                F.explode(F.sequence(F.shiftleft(F.col("cx"), ks),
+                                     F.shiftleft(F.col("cx") + 1, ks) - 1)),
+            ).withColumn(
+                "fcy",
+                F.explode(F.sequence(F.shiftleft(F.col("cy"), ks),
+                                     F.shiftleft(F.col("cy") + 1, ks) - 1)),
+            )
+            ph = ph.withColumn(
                 "cell",
-                F.lit(res << 58).cast("long")
-                .bitwiseOR(F.shiftleft(F.col("ncx"), 29))
-                .bitwiseOR(F.col("ncy")),
-            ).drop("ncx", "ncy", "cx", "cy")
-        else:
-            probe = probe.drop("cx", "cy")
-        sm = F.broadcast(small) if idx.broadcast_small else small
-        cand = probe.join(sm, on="cell", how="inner")
-        # a pair may appear via several (probe-cell, ring-offset) paths;
-        # dedupe on ids before the (idempotent) refine to cut UDF work
+                F.lit(idx.fine_resolution << 58).cast("long")
+                .bitwiseOR(F.shiftleft(F.col("fcx"), 29))
+                .bitwiseOR(F.col("fcy")),
+            ).drop("fcx", "fcy", "cx", "cy")
+            cand_fine = ph.join(bcast(small_fine), on="cell", how="inner").select(*refine_cols)
+            cand = cand.unionByName(cand_fine)
+        # a pair may appear via several (probe-cell, ring-offset) paths
+        # and via both index levels; dedupe on ids before the
+        # (idempotent) refine to cut UDF work
         cand = cand.dropDuplicates(["big_id", "small_id"])
-        from .index import _refine_input_cols
-
-        cand = cand.select(*_refine_input_cols(bc, []))
         dists = cand.mapInPandas(refine, out_schema)
         w = Window.partitionBy("big_id").orderBy(F.col("distance").asc(), F.col("small_id").asc())
         topk = (
             dists.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
         ).persist()  # reused by the done-check action AND the final union
+        cached.append(topk)
         covered = float(r) * min_dim
         ring_spans_grid = r >= n
         if ring_spans_grid or rounds >= max_rounds:
@@ -173,8 +208,8 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
         done_rows = topk.join(done_ids, on="big_id", how="left_semi")
         results.append(done_rows)
         pending_next = pending.join(done_ids, on="big_id", how="left_anti").persist()
+        cached.append(pending_next)
         n_pending = pending_next.count()
-        pending.unpersist()
         pending = pending_next
         if n_pending == 0:
             break
@@ -182,4 +217,11 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
     out = results[0]
     for extra in results[1:]:
         out = out.unionByName(extra)
+    # materialize the union, then free every per-round cache (the round
+    # topk/pending frames otherwise accumulate in executor storage for
+    # the session lifetime on multi-round workloads)
+    out = out.persist()
+    out.count()
+    for df in cached:
+        df.unpersist()
     return out

@@ -178,7 +178,32 @@ def q_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=3 nearest part centers for every customer point."""
     parts = _points_df(spark, sf_dir, "part", "p_partkey")
     cust = _points_df(spark, sf_dir, "customer", "c_custkey")
-    out = knn_join(spark, parts, cust, k=3, validate=False)
+    out = knn_join(spark, parts, cust, k=3, validate=False, big_kinds={0})
+    return out.select("big_id", "small_id", "distance", "rank")
+
+
+# skewed point derivation: 80% of keys collapse into a [0, 0.1]^2 hot
+# cluster, the rest stay uniform — drives hot-cell splitting in the index
+SKX = ("CASE WHEN {k} % 5 < 4 THEN (({k} * 2654435761) % 1000000) / 1e6 * 1e-1 "
+       "ELSE (({k} * 2654435761) % 1000000) / 1e6 * 20e0 - 10e0 END")
+SKY = ("CASE WHEN {k} % 5 < 4 THEN (({k} * 40503) % 1000000) / 1e6 * 1e-1 "
+       "ELSE (({k} * 40503) % 1000000) / 1e6 * 20e0 - 10e0 END")
+
+
+def q_knn_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN over a skewed corpus THROUGH the hot-split index (the north
+    rule pairs kNN with explicit skew handling): 80% of the part points
+    collapse into one tiny cluster; hot_threshold forces those cells to
+    the fine level and the ring search probes both levels."""
+    skx, sky = SKX.format(k="p_partkey"), SKY.format(k="p_partkey")
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "p_partkey as id", "0 as kind",
+        f"array({skx}, {sky}) as coords",
+        "cast(null as array<int>) as rings",
+    )
+    cust = _points_df(spark, sf_dir, "customer", "c_custkey")
+    out = knn_join(spark, parts, cust, k=3, validate=False, big_kinds={0},
+                   hot_threshold=64)
     return out.select("big_id", "small_id", "distance", "rank")
 
 
@@ -508,6 +533,19 @@ SELECT c_custkey AS big_id, p_partkey AS small_id,
 FROM prt, cst
 QUALIFY rank <= 3
 """.strip(),
+        "knn_skew": f"""
+WITH prt AS (SELECT p_partkey, {SKX.format(k="p_partkey")} AS px, {SKY.format(k="p_partkey")} AS py FROM part),
+cst AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer)
+SELECT c_custkey AS big_id, p_partkey AS small_id,
+       sqrt((prt.px - cst.px) * (prt.px - cst.px) + (prt.py - cst.py) * (prt.py - cst.py)) AS distance,
+       CAST(row_number() OVER (
+           PARTITION BY c_custkey
+           ORDER BY sqrt((prt.px - cst.px) * (prt.px - cst.px) + (prt.py - cst.py) * (prt.py - cst.py)) ASC,
+                    p_partkey ASC
+       ) AS INTEGER) AS rank
+FROM prt, cst
+QUALIFY rank <= 3
+""".strip(),
         "tile_assign": f"""
 WITH rcs AS (SELECT p_partkey,
                greatest(0, least({ncell}, CAST(floor(((({px_p}) - ({ra_p})) - ({x0_sql})) / {ts_sql}) AS BIGINT))) AS cx0,
@@ -621,6 +659,7 @@ QUERIES = {
     "lines_prox_points": q_lines_prox_points,
     "prox_with_geos": q_prox_with_geos,
     "knn_points": q_knn_points,
+    "knn_skew": q_knn_skew,
     "tile_assign": q_tile_assign,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,

@@ -66,6 +66,35 @@ def test_hot_cell_split_proximity(spark):
     assert got == base
 
 
+def test_knn_hot_split_invariance(spark):
+    """kNN composes with hot-cell splitting: identical (big, small,
+    rank) sets with and without the split, on a skewed corpus."""
+    from spatialjoin.knn import knn_join
+
+    rng = random.Random(79)
+    small_rows = [(POINT, [rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05)])
+                  if rng.random() < 0.8 else
+                  (POINT, [rng.uniform(-8, 8), rng.uniform(-8, 8)])
+                  for _ in range(400)]
+    big_rows = [(POINT, [rng.uniform(-8, 8), rng.uniform(-8, 8)]) for _ in range(120)]
+    small = geoms_to_df(spark, small_rows)
+    big = geoms_to_df(spark, big_rows)
+    base = sorted(
+        (r.big_id, r.small_id, r.distance, r.rank)
+        for r in knn_join(spark, small, big, k=3, validate=False).collect()
+    )
+    idx_probe = SpatialIndex.build(spark, small, validate=False, hot_threshold=30)
+    assert idx_probe.hot_cells is not None, "expected hot cells on this corpus"
+    idx_probe.unpersist()
+    got = sorted(
+        (r.big_id, r.small_id, r.distance, r.rank)
+        for r in knn_join(spark, small, big, k=3, validate=False,
+                          hot_threshold=30, big_kinds={POINT}).collect()
+    )
+    assert got == base
+    assert len({(b for b, *_ in got)}) >= 1 and len(got) == 3 * len(big_rows)
+
+
 def test_cogroup_strategy_matches_pairs(spark):
     """The cogroup+STRtree path must produce identical results to the
     candidate-pair path for joins and proximity maps, with and without
