@@ -85,9 +85,9 @@ def phash64(pixels: np.ndarray) -> int:
     bh, bw = h // 8, w // 8
     g = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
     bits = (g > g.mean()).ravel()
-    v = 0
-    for bit in bits:
-        v = (v << 1) | int(bit)
+    # packbits is MSB-first per byte; big-endian byte order makes this
+    # identical to the sequential (v << 1) | bit fold
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     # interpret as signed int64
     return v - (1 << 64) if v >= (1 << 63) else v
 

@@ -97,14 +97,23 @@ TILE_PIXEL_SCHEMA = T.StructType(
 )
 
 
-def cut_tiles(images_df: DataFrame, zoom: int, extent, footprint_fn=None) -> DataFrame:
+def cut_tiles(images_df: DataFrame, zoom: int, extent, footprint_fn=None,
+              decode_fn=None) -> DataFrame:
     """Slice each image's decoded pixels into zoom-z tile slabs.
 
     The image's pixel grid is mapped onto its footprint bbox (row 0 at
     the top / max-y edge, like raster conventions). Output rows carry
     the pixel slab (as raw float32 RGB bytes) overlapping each tile.
+
+    Decode amplification: candidates are grouped by image WITHIN each
+    Arrow batch, so an image spanning T tiles is decoded once per
+    batch it appears in (== once per image in practice: a row's tile
+    explosion is contiguous), not once per tile. ``decode_fn`` is
+    injectable for tests that count decodes.
     """
     from .images import decode, footprints
+
+    decode_fn = decode_fn or decode
 
     grid = Grid(extent)
     tw, th = grid.cell_size(zoom)
@@ -126,34 +135,36 @@ def cut_tiles(images_df: DataFrame, zoom: int, extent, footprint_fn=None) -> Dat
     def slab(iterator):
         for pdf in iterator:
             rows = []
-            for t in pdf.itertuples(index=False):
-                px = decode(t.bytes, t.fmt, t.w, t.h)
-                gx0, gy0, gx1, gy1 = t.b_xmin, t.b_ymin, t.b_xmax, t.b_ymax
+            for _, g in pdf.groupby("image_id", sort=False):
+                t0 = g.iloc[0]
+                gx0, gy0, gx1, gy1 = t0.b_xmin, t0.b_ymin, t0.b_xmax, t0.b_ymax
                 if gx1 <= gx0 or gy1 <= gy0:
                     continue
-                txmin = x0g + t.cx * tw
-                tymin = y0g + t.cy * th
-                # geographic overlap of tile and footprint bbox
-                ox0, ox1 = max(gx0, txmin), min(gx1, txmin + tw)
-                oy0, oy1 = max(gy0, tymin), min(gy1, tymin + th)
-                if ox1 <= ox0 or oy1 <= oy0:
-                    continue
-                # map to pixel coords (row 0 = top = max y)
-                c0 = int(np.floor((ox0 - gx0) / (gx1 - gx0) * t.w))
-                c1 = int(np.ceil((ox1 - gx0) / (gx1 - gx0) * t.w))
-                r0 = int(np.floor((gy1 - oy1) / (gy1 - gy0) * t.h))
-                r1 = int(np.ceil((gy1 - oy0) / (gy1 - gy0) * t.h))
-                c0, c1 = max(0, c0), min(t.w, c1)
-                r0, r1 = max(0, r0), min(t.h, r1)
-                if c1 <= c0 or r1 <= r0:
-                    continue
-                cut = np.ascontiguousarray(px[r0:r1, c0:c1, :], dtype=np.float32)
-                rows.append(
-                    (
-                        t.image_id, int(t.cell), int(t.cx), int(t.cy),
-                        c0, r0, c1 - c0, r1 - r0, cut.tobytes(),
+                px = decode_fn(t0.bytes, t0.fmt, t0.w, t0.h)  # ONCE per image
+                for t in g.itertuples(index=False):
+                    txmin = x0g + t.cx * tw
+                    tymin = y0g + t.cy * th
+                    # geographic overlap of tile and footprint bbox
+                    ox0, ox1 = max(gx0, txmin), min(gx1, txmin + tw)
+                    oy0, oy1 = max(gy0, tymin), min(gy1, tymin + th)
+                    if ox1 <= ox0 or oy1 <= oy0:
+                        continue
+                    # map to pixel coords (row 0 = top = max y)
+                    c0 = int(np.floor((ox0 - gx0) / (gx1 - gx0) * t.w))
+                    c1 = int(np.ceil((ox1 - gx0) / (gx1 - gx0) * t.w))
+                    r0 = int(np.floor((gy1 - oy1) / (gy1 - gy0) * t.h))
+                    r1 = int(np.ceil((gy1 - oy0) / (gy1 - gy0) * t.h))
+                    c0, c1 = max(0, c0), min(t.w, c1)
+                    r0, r1 = max(0, r0), min(t.h, r1)
+                    if c1 <= c0 or r1 <= r0:
+                        continue
+                    cut = np.ascontiguousarray(px[r0:r1, c0:c1, :], dtype=np.float32)
+                    rows.append(
+                        (
+                            t.image_id, int(t.cell), int(t.cx), int(t.cy),
+                            c0, r0, c1 - c0, r1 - r0, cut.tobytes(),
+                        )
                     )
-                )
             yield pd.DataFrame(rows, columns=[f.name for f in TILE_PIXEL_SCHEMA.fields])
 
     return j.mapInPandas(slab, TILE_PIXEL_SCHEMA)

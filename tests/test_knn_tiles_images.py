@@ -168,3 +168,26 @@ def test_cut_tiles_pixels_match_source(spark):
             want = px[c.px_off_y : c.px_off_y + c.tile_h, c.px_off_x : c.px_off_x + c.tile_w, :]
             assert np.allclose(slab, want.astype(np.float32))
     imgs.unpersist()
+
+
+def test_cut_tiles_decodes_once_per_image(spark):
+    """Decode amplification guard: an image spanning T tiles must be
+    decoded once, not T times (counted with an accumulator through the
+    injectable decode_fn)."""
+    from spatialjoin.images import decode as real_decode
+
+    n = 24
+    imgs = synth_images(spark, n).persist()
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_decode(b, fmt, w, h):
+        acc.add(1)
+        return real_decode(b, fmt, w, h)
+
+    ext = (-10.0, -10.0, 10.0, 10.0)
+    out = cut_tiles(imgs, zoom=3, extent=ext, decode_fn=counting_decode).collect()
+    n_tiles = len(out)
+    n_imgs = len({r.image_id for r in out})
+    assert n_tiles > n_imgs, "corpus should have multi-tile images"
+    assert acc.value == n_imgs, f"decoded {acc.value}x for {n_imgs} images ({n_tiles} tiles)"
+    imgs.unpersist()

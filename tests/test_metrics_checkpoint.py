@@ -71,4 +71,40 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
     assert ResumableRun(out, n_buckets=8).run(factory) == []
     m = json.load(open(f"{out}/_manifests/bucket-0.json"))
     assert m["lineage"] == {"test": "resume"} and m["n_buckets"] == 8
+    # manifests carry exact per-bucket row counts summing to the output
+    total_rows = sum(
+        json.load(open(f"{out}/_manifests/bucket-{i}.json"))["rows"] for i in range(8)
+    )
+    assert total_rows == len(want)
+    idx.unpersist()
+
+
+def test_checkpoint_single_upstream_pass(spark, tmp_path):
+    """The upstream DataFrame must execute exactly ONCE per run() call
+    (not once per bucket): counted with an accumulator inside a
+    passthrough mapInPandas stage."""
+    rng = random.Random(7)
+    small = geoms_to_df(spark, _rows(rng, 60))
+    big = geoms_to_df(spark, _rows(rng, 90))
+    idx = SpatialIndex.build(spark, small, validate=False)
+    acc = spark.sparkContext.accumulator(0)
+    base = idx.spatial_join(big, how="intersects", validate=False)
+    n_out = base.count()
+
+    def factory():
+        def passthrough(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        return idx.spatial_join(big, how="intersects", validate=False).mapInPandas(
+            passthrough, base.schema
+        )
+
+    out = str(tmp_path / "ckpt1pass")
+    run = ResumableRun(out, n_buckets=16)
+    computed = run.run(factory)
+    assert len(computed) == 16
+    assert acc.value == n_out, f"upstream ran {acc.value / max(n_out, 1):.1f}x"
+    assert run.read(spark).count() == n_out
     idx.unpersist()
