@@ -11,17 +11,20 @@ Ops (SURVEY.md §2.2 "training-data pipeline" additions per the task):
   ngram_jaccard      exact 3-word-shingle Jaccard similarity join
   minhash_lsh        MinHash signatures (min of seeded md5 over
                      shingles) -> banded LSH candidates -> verified
-  simhash            16-bit SimHash from token md5 nibbles; banded
-                     candidate pairs within Hamming distance
+  simhash            64-bit SimHash from token md5 nibbles; 4x16-bit
+                     banded candidate pairs within Hamming distance
+                     (4 bands provably cover every pair at Hamming<=3)
   doc_stats          token counts / quality scoring (regexp built-ins)
   lang_guess         marker-word language heuristic
   fingerprint        document fingerprint = min shingle hash
 
 Scale notes (100 TB): the shingle self-joins shuffle on shingle text —
-at scale, frequent-shingle capping (drop shingles with doc-frequency
-above a threshold) bounds the blowup; minhash_lsh is the scale path
-(bounded signature width), ngram_jaccard is the exact small-scale
-oracle twin.
+FREQUENT-SHINGLE CAPPING (shingles with doc-frequency > MAX_SHINGLE_DF
+are dropped from the shingle sets, identically in Spark and the
+oracle) bounds every shingle join to MAX_SHINGLE_DF^2 pairs per
+shingle; minhash_lsh is the scale path (bounded signature width),
+ngram_jaccard is the exact small-scale oracle twin. The frequent set
+itself is tiny by construction, so the cap is a broadcast anti-join.
 """
 
 from __future__ import annotations
@@ -32,7 +35,10 @@ from pyspark.sql import functions as F
 N_HASHES = 8
 N_BANDS = 4  # 2 signatures per band
 JACCARD_T = "8e-1"
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 16 bits each; covers all pairs at hamming <= 3
 SIMHASH_HAMMING = 3
+MAX_SHINGLE_DF = 64  # frequent-shingle cap (doc-frequency)
 
 
 def _docs(spark, sf_dir):
@@ -59,11 +65,40 @@ def _shingles(docs: DataFrame, id_col="doc_id") -> DataFrame:
     )
 
 
+def _shingles_capped(docs: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Shingles minus the frequent ones (doc-frequency > max_df): the
+    100-TB guard for the shingle self-joins. The frequent set is small
+    (few distinct shingles can exceed any nontrivial cap), so it
+    broadcasts; the anti-join is map-side."""
+    sh = _shingles(docs)
+    frequent = (
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("s")
+    )
+    return sh.join(F.broadcast(frequent), "s", "left_anti")
+
+
 _SHINGLES_SQL = """
 toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
   FROM toks, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+)
+""".strip()
+
+# capped twin: re-binds `sh` to the frequency-filtered set so the
+# jaccard/minhash oracle bodies stay textually identical
+_SHINGLES_CAPPED_SQL = f"""
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM toks, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+),
+sh AS (
+  SELECT sh_all.doc_id, sh_all.s
+  FROM sh_all
+  JOIN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}) ok USING (s)
 )
 """.strip()
 
@@ -90,7 +125,7 @@ SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id FROM docum
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = _shingles(docs).persist()
+    sh = _shingles_capped(docs).persist()
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -111,7 +146,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NGRAM_JACCARD = f"""
-WITH {_SHINGLES_SQL},
+WITH {_SHINGLES_CAPPED_SQL},
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
@@ -132,7 +167,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signature h_i(doc) = min over shingles of md5('<i>|' || shingle);
     min over lowercase hex strings is identical in any engine."""
     docs = _docs(spark, sf_dir)
-    sh = _shingles(docs).persist()
+    sh = _shingles_capped(docs).persist()
     seeded = sh.select(
         "doc_id", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"), "s"
     ).withColumn("m", F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("s"))))
@@ -188,7 +223,7 @@ def _oracle_minhash() -> str:
         for b in range(N_BANDS)
     )
     return f"""
-WITH {_SHINGLES_SQL},
+WITH {_SHINGLES_CAPPED_SQL},
 seeded AS (
   SELECT doc_id, t.seed, md5(CAST(t.seed AS VARCHAR) || '|' || s) AS m
   FROM sh, unnest(generate_series(0, {N_HASHES - 1})) AS t(seed)
@@ -216,39 +251,48 @@ WHERE c * 1e0 / (ca.n + cb.n - c) >= {JACCARD_T}
 
 
 def _simhash_bits_spark(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash per doc from token md5 nibbles — pure JVM.
+    """64-bit SimHash per doc from token md5 nibbles — pure JVM.
     bit j of token hash = bit (3 - j%4) of hex digit (1 + j/4) of
     md5(token); simhash bit j = 1 iff sum over DISTINCT tokens of
-    (2*bit - 1) >= 0 (deterministic; matches the oracle)."""
+    (2*bit - 1) >= 0 (deterministic; matches the oracle). Bit 63 is
+    the sign bit of the signed int64 (-2^63 term)."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
     ).distinct()
     h = F.md5("tok")
     bit_cols = []
-    for j in range(16):
+    for j in range(SIMHASH_BITS):
         digit = F.substring(h, 1 + j // 4, 1)
         val = F.instr(F.lit("0123456789abcdef"), digit) - 1
         bit = F.shiftright(val, 3 - (j % 4)).bitwiseAND(F.lit(1))
         bit_cols.append((bit * 2 - 1).alias(f"b{j}"))
     per_tok = toks.select("doc_id", *bit_cols)
     agg = per_tok.groupBy("doc_id").agg(
-        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(16)]
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
     )
     sim = None
-    for j in range(16):
-        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    for j in range(SIMHASH_BITS):
+        weight = -(1 << 63) if j == 63 else (1 << j)
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded 64-bit simhash self-join: SIMHASH_BANDS 16-bit bands give
+    band-key cardinality 2^16 per band (vs 2^8 in round 1), so the
+    candidate self-join stays near-linear at corpus scale, and every
+    pair at Hamming <= SIMHASH_HAMMING shares at least one band
+    (pigeonhole: 4 bands, <= 3 differing bits)."""
     docs = _docs(spark, sf_dir)
     simdf = _simhash_bits_spark(docs).persist()
-    lo = (F.col("simhash").bitwiseAND(F.lit(255))).alias("band_key")
-    hi = F.shiftright(F.col("simhash"), 8).bitwiseAND(F.lit(255)).alias("band_key")
-    bands = simdf.select("doc_id", "simhash", F.lit(0).alias("band"), lo).unionByName(
-        simdf.select("doc_id", "simhash", F.lit(1).alias("band"), hi)
-    )
+    bands = None
+    for b in range(SIMHASH_BANDS):
+        key = F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(65535)).alias("band_key")
+        part = simdf.select("doc_id", "simhash", F.lit(b).alias("band"), key)
+        bands = part if bands is None else bands.unionByName(part)
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -275,13 +319,21 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_simhash() -> str:
     bit_sums = []
-    for j in range(16):
+    for j in range(SIMHASH_BITS):
         digit = f"substr(md5(tok), {1 + j // 4}, 1)"
         val = f"(strpos('0123456789abcdef', {digit}) - 1)"
         bit = f"((({val} >> {3 - (j % 4)}) & 1) * 2 - 1)"
         bit_sums.append(f"sum({bit}) AS s{j}")
+    # bit 63 is the int64 sign bit; -2^63 spelled overflow-safe
     sim_terms = " + ".join(
-        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+        f"(CASE WHEN s{j} >= 0 THEN "
+        + ("(-9223372036854775807 - 1)" if j == 63 else str(1 << j))
+        + " ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {16 * b}) & 65535 AS band_key FROM sim"
+        for b in range(SIMHASH_BANDS)
     )
     return f"""
 WITH toks AS (
@@ -291,9 +343,7 @@ WITH toks AS (
 sums AS (SELECT doc_id, {", ".join(bit_sums)} FROM toks GROUP BY doc_id),
 sim AS (SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM sums),
 bands AS (
-  SELECT doc_id, simhash, 0 AS band, simhash & 255 AS band_key FROM sim
-  UNION ALL
-  SELECT doc_id, simhash, 1 AS band, (simhash >> 8) & 255 AS band_key FROM sim
+{band_sel}
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.simhash AS sa, y.simhash AS sb
