@@ -62,6 +62,22 @@ def main() -> None:
             rows[name] = n
             total += best
             total_rows += n
+        # recall@10 of the sublinear ANN paths vs brute force — the
+        # correctness-at-scale signal for the approximate variants
+        from spatialjoin.ann import q_ann_ivf, q_ann_lsh, q_ann_topk
+
+        truth: dict[int, set] = {}
+        for r in q_ann_topk(spark, sf_dir).collect():
+            truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+        den = sum(len(t) for t in truth.values())
+        recalls = {}
+        for nm, fn in (("ann_ivf", q_ann_ivf), ("ann_lsh", q_ann_lsh)):
+            got: dict[int, set] = {}
+            for r in fn(spark, sf_dir).collect():
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+            recalls[f"{nm}_recall_at_10"] = round(hits / den, 4) if den else None
+
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         print(
             json.dumps(
@@ -74,6 +90,7 @@ def main() -> None:
                     "rows": rows,
                     "rows_per_sec": round(total_rows / total, 1) if total else None,
                     "cpus": cpus,
+                    **recalls,
                 }
             )
         )

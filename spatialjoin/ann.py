@@ -31,6 +31,33 @@ from pyspark.sql import functions as F
 
 QUANT = "1024e0"
 
+N_PLANES = 5
+N_TABLES = 4
+
+
+def _plane_seed(t: int, p: int) -> int:
+    """Small reduced seed for (table, plane): hyperplane component for
+    dim d is ((seed + d*433) % 2048) / 1024 - 1, an EXACT binary
+    fraction (433 = 2654435761 mod 2048; reduction mod 2048 keeps the
+    literals small and the arithmetic identical in Spark and DuckDB)."""
+    return ((t * 7919 + p) * 1315423911) % 2048
+
+
+def _plane_proj_sql(seed: int, vec: str, engine: str) -> str:
+    """Projection of `vec` onto the (exact-binary) hyperplane — shared
+    math, per-engine array syntax."""
+    comp = f"((({seed} + d * 433) % 2048) / 1024e0 - 1e0)"
+    if engine == "spark":
+        return (
+            f"aggregate(zip_with({vec}, sequence(0, size({vec}) - 1), (x, d) -> "
+            f"x * {comp}), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    # duckdb: list_sum over a zip of the vector with its 0-based index
+    return (
+        f"list_sum(list_transform(generate_series(0, len({vec}) - 1), "
+        f"d -> {vec}[d + 1] * {comp}))"
+    )
+
 
 def _quantized(spark, sf_dir, alias):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
@@ -183,6 +210,74 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40,
     )
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str,
+                             threshold: str = "3e-1",
+                             n_planes: int = N_PLANES,
+                             n_tables: int = N_TABLES) -> DataFrame:
+    """The SCALE path for embedding near-dup over the WHOLE corpus (the
+    anchor-subset exact twin is q_embedding_near_dup): LSH buckets feed
+    the exact quantized-cosine verify, so the bucket self-join shuffles
+    on (table, bucket) instead of forming all pairs. Approximate by
+    construction (a near-dup pair in no shared bucket is missed); every
+    emitted pair is exactly verified, and the DuckDB oracle mirrors the
+    construction bit-for-bit."""
+    emb = _quantized(spark, sf_dir, "v")
+    vb = _lsh_bands(emb, n_planes, n_tables)
+    anchors = vb.selectExpr("v_id AS a_id", "v_v AS a_v", "v_n AS a_n", "tbl", "bucket")
+    cand = (
+        vb.join(anchors, on=["tbl", "bucket"])
+        .where("a_n > 0 AND v_n > 0 AND a_id < v_id")
+        .select("a_id", "a_v", "a_n", "v_id", "v_v", "v_n")
+        .dropDuplicates(["a_id", "v_id"])
+    )
+    return cand.selectExpr(
+        "a_id AS a",
+        "v_id AS b",
+        "aggregate(zip_with(a_v, v_v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        " / sqrt(a_n * v_n) AS cosine",
+    ).where(f"cosine >= {threshold}")
+
+
+def oracle_embedding_near_dup_lsh(threshold: str = "3e-1", n_planes: int = None,
+                                  n_tables: int = None) -> str:
+    n_planes = N_PLANES if n_planes is None else n_planes
+    n_tables = N_TABLES if n_tables is None else n_tables
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            proj = _plane_proj_sql(_plane_seed(t, p), "vv", "duckdb")
+            terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT vid, n2, {t} AS tbl, {bucket_expr(t)} AS bucket FROM vn"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {QUANT}) / {QUANT}) AS vv
+  FROM embeddings
+),
+vn AS (SELECT vid, vv, list_sum(list_transform(vv, x -> x * x)) AS n2 FROM e),
+bands AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.vid AS aid, x.vid AS vid2
+  FROM bands x JOIN bands a ON x.tbl = a.tbl AND x.bucket = a.bucket
+  WHERE a.n2 > 0 AND x.n2 > 0 AND a.vid < x.vid
+),
+flat AS (
+  SELECT c.aid, c.vid2, unnest(p.vv) AS qe, unnest(q.vv) AS ve
+  FROM cand c JOIN vn p ON p.vid = c.aid JOIN vn q ON q.vid = c.vid2
+),
+dots AS (SELECT aid, vid2, sum(qe * ve) AS dot FROM flat GROUP BY 1, 2)
+SELECT d.aid AS a, d.vid2 AS b, d.dot / sqrt(p.n2 * q.n2) AS cosine
+FROM dots d JOIN vn p ON p.vid = d.aid JOIN vn q ON q.vid = d.vid2
+WHERE d.dot / sqrt(p.n2 * q.n2) >= {threshold}
+""".strip()
+
+
 def oracle_ann_ivf(k: int = 10, every: int = 40, n_centroids: int = 16,
                    nprobe: int = 3) -> str:
     """DuckDB twin of q_ann_ivf: same centroid stride, argmin
@@ -278,31 +373,23 @@ FROM scored
 QUALIFY rank <= {k}
 """.strip()
 
-N_PLANES = 5
-N_TABLES = 4
 
+def _lsh_bands(emb: DataFrame, n_planes: int, n_tables: int) -> DataFrame:
+    """(v_id, v_v, v_n, tbl, bucket) — one row per vector per LSH table;
+    bucket = sign bits of the exact-binary hyperplane projections."""
 
-def _plane_seed(t: int, p: int) -> int:
-    """Small reduced seed for (table, plane): hyperplane component for
-    dim d is ((seed + d*433) % 2048) / 1024 - 1, an EXACT binary
-    fraction (433 = 2654435761 mod 2048; reduction mod 2048 keeps the
-    literals small and the arithmetic identical in Spark and DuckDB)."""
-    return ((t * 7919 + p) * 1315423911) % 2048
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            proj = _plane_proj_sql(_plane_seed(t, p), "v_v", "spark")
+            terms.append(f"CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END")
+        return " + ".join(terms)
 
-
-def _plane_proj_sql(seed: int, vec: str, engine: str) -> str:
-    """Projection of `vec` onto the (exact-binary) hyperplane — shared
-    math, per-engine array syntax."""
-    comp = f"((({seed} + d * 433) % 2048) / 1024e0 - 1e0)"
-    if engine == "spark":
-        return (
-            f"aggregate(zip_with({vec}, sequence(0, size({vec}) - 1), (x, d) -> "
-            f"x * {comp}), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-    # duckdb: list_sum over a zip of the vector with its 0-based index
-    return (
-        f"list_sum(list_transform(generate_series(0, len({vec}) - 1), "
-        f"d -> {vec}[d + 1] * {comp}))"
+    return emb.selectExpr(
+        "v_id", "v_v", "v_n",
+        f"array({', '.join(f'CAST({bucket_expr(t)} AS INT)' for t in range(n_tables))}) AS bks",
+    ).select(
+        "v_id", "v_v", "v_n", F.posexplode("bks").alias("tbl", "bucket")
     )
 
 
@@ -316,20 +403,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40,
     components are exact binary fractions so bucket assignment (and
     hence output) is bit-identical to the DuckDB oracle."""
     emb = _quantized(spark, sf_dir, "v")
-
-    def bucket_expr(t: int) -> str:
-        terms = []
-        for p in range(n_planes):
-            proj = _plane_proj_sql(_plane_seed(t, p), "v_v", "spark")
-            terms.append(f"CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END")
-        return " + ".join(terms)
-
-    vb = emb.selectExpr(
-        "v_id", "v_v", "v_n",
-        f"array({', '.join(f'CAST({bucket_expr(t)} AS INT)' for t in range(n_tables))}) AS bks",
-    ).select(
-        "v_id", "v_v", "v_n", F.posexplode("bks").alias("tbl", "bucket")
-    )
+    vb = _lsh_bands(emb, n_planes, n_tables)
     qb = vb.where(f"v_id % {every} = 0").selectExpr(
         "v_id AS q_id", "v_v AS q_v", "v_n AS q_n", "tbl", "bucket"
     )

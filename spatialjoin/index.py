@@ -43,6 +43,11 @@ from .grid import Grid
 
 _HOW = ("intersects", "contains", "within")
 
+# auto-broadcast caps: cell-row count AND geometry byte volume (a small
+# side of few-but-fat polygons must not collect GBs into the driver)
+BROADCAST_MAX_CELLS = 2_000_000
+BROADCAST_BYTE_BUDGET = 128 * 1024 * 1024
+
 _GEO_COLS = ("kind", "coords", "rings")
 
 
@@ -340,7 +345,10 @@ class SpatialIndex:
             n_cells = small_cells.count()  # materializes the cache too
             if small_fine is not None:
                 n_cells += small_fine.count()
-            bc = n_cells <= 2_000_000
+            # byte-based budget over the GEOMETRY rows (what actually
+            # gets collected), not the per-cell covering rows
+            n_vals = s.select(F.sum(F.size("s_coords"))).first()[0] or 0
+            bc = n_cells <= BROADCAST_MAX_CELLS and n_vals * 8 <= BROADCAST_BYTE_BUDGET
         small_geo_bc = None
         if bc:
             rows = s.select("small_id", "s_kind", "s_coords", "s_rings").collect()

@@ -19,10 +19,12 @@ from .ann import (
     oracle_ann_lsh,
     oracle_ann_topk,
     oracle_embedding_near_dup,
+    oracle_embedding_near_dup_lsh,
     q_ann_ivf,
     q_ann_lsh,
     q_ann_topk,
     q_embedding_near_dup,
+    q_embedding_near_dup_lsh,
 )
 from .index import SpatialIndex
 from .knn import knn_join
@@ -563,6 +565,7 @@ JOIN ser sy ON sy.i >= cy0 AND sy.i <= cy1
         "ann_ivf": oracle_ann_ivf(),
         "ann_lsh": oracle_ann_lsh(),
         "embedding_near_dup": oracle_embedding_near_dup(),
+        "embedding_near_dup_lsh": oracle_embedding_near_dup_lsh(),
         "cell_counts": f"""
 WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
 cells AS (
@@ -665,6 +668,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "cell_counts": q_cell_counts,
     "top_tiles": q_top_tiles,
     "unmatched_customers": q_unmatched_customers,

@@ -181,6 +181,41 @@ def test_broadcast_and_shuffle_agree(spark):
     assert a == b
 
 
+def test_fat_geometries_skip_broadcast(spark, monkeypatch):
+    """auto-broadcast is byte-budgeted: a small side of few-but-fat
+    polygons must take the cogroup path, not collect into the driver."""
+    import math
+
+    from spatialjoin import index as index_mod
+    from spatialjoin.geom import POLYGON
+
+    rng = random.Random(13)
+    fat = []
+    for i in range(12):
+        cx, cy = rng.uniform(-4, 4), rng.uniform(-4, 4)
+        pts = []
+        for a in range(101):  # 100-vertex closed ring
+            ang = 2 * math.pi * (a % 100) / 100
+            pts += [cx + 0.5 * math.cos(ang), cy + 0.5 * math.sin(ang)]
+        fat.append((POLYGON, pts, [0]))
+    big_rows = _random_rows(rng, 40)
+    monkeypatch.setattr(index_mod, "BROADCAST_BYTE_BUDGET", 4096)
+    small = geoms_to_df(spark, fat)
+    big = geoms_to_df(spark, big_rows)
+    idx = SpatialIndex.build(spark, small, validate=False)
+    assert not idx.broadcast_small, "byte budget should disable broadcast"
+    got = sorted((r.big_id, r.small_id) for r in
+                 idx.spatial_join(big, how="intersects", validate=False).collect())
+    idx.unpersist()
+    monkeypatch.setattr(index_mod, "BROADCAST_BYTE_BUDGET", 128 * 1024 * 1024)
+    idx2 = SpatialIndex.build(spark, small, validate=False)
+    assert idx2.broadcast_small
+    want = sorted((r.big_id, r.small_id) for r in
+                  idx2.spatial_join(big, how="intersects", validate=False).collect())
+    idx2.unpersist()
+    assert got == want
+
+
 def test_probe_outside_extent_is_safe(spark):
     """Probe-side geometry outside the index extent must not match
     spuriously nor crash (it clamps into edge cells; refine rejects)."""
