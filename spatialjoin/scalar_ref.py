@@ -249,8 +249,25 @@ def contains(a, b):
                 for bs, be in _segments(b)
             )
         return False
-    # area kinds: all defining vertices of b contained
-    return all(_pt_contained(a, v) for v in _vertices(b))
+    # area kinds: all defining vertices of b contained ...
+    if not all(_pt_contained(a, v) for v in _vertices(b)):
+        return False
+    # ... PLUS, for POLYGON containers with segment-bearing operands,
+    # geo 0.14's ring-crossing rejection (kernels._con_poly_seg_reject
+    # documents the delegation and the LineString asymmetry). The
+    # polygon operand contributes its EXTERIOR segments only.
+    if ka == POLYGON and kb in (LINE, LINESTRING, RECT, POLYGON):
+        segs_b = _segments(b, "exterior") if kb == POLYGON else _segments(b)
+        check = _segments(a, "holes")
+        if kb != LINESTRING:  # LineString: hole rings only (geo 0.14)
+            check = check + _segments(a, "exterior")
+        if any(
+            _segs_intersect(s1, e1, s2, e2)
+            for s1, e1 in check
+            for s2, e2 in segs_b
+        ):
+            return False
+    return True
 
 
 # -- distance -----------------------------------------------------------------

@@ -189,6 +189,86 @@ def test_polygon_contains_is_boundary_exclusive_rect_inclusive():
     assert slow_spatial_join(gb(r), gb(on_edge), "contains") == [(0, 0)]
 
 
+def _contains_pair(container, operand):
+    """(kernel result, scalar_ref result) for one (container, operand)."""
+    A = gb([container])
+    B = gb([operand])
+    i = np.zeros(1, dtype=np.int64)
+    k = bool(kernels.contains(A, i, B, i)[0])
+    s = scalar_ref.contains(sref([container])[0], sref([operand])[0])
+    assert k == s, "kernel and scalar_ref disagree"
+    return k
+
+
+# concave "U": deep notch from the top edge down to y=2 between x=4..6
+U_NOTCH = (
+    POLYGON,
+    [0, 0, 10, 0, 10, 10, 6, 10, 5, 2, 4, 10, 0, 10, 0, 0],
+    [0],
+)
+# 10x10 square with a centered 2x2 hole
+HOLED = (
+    POLYGON,
+    [0, 0, 10, 0, 10, 10, 0, 10, 0, 0, 4, 4, 6, 4, 6, 6, 4, 6, 4, 4],
+    [0, 5],
+)
+
+
+def test_polygon_contains_rejects_ring_crossing_segments():
+    """geo 0.14 (reference delegation): a segment with both endpoints
+    strictly inside but crossing the exterior (concave notch) or a hole
+    ring is NOT contained — the vertex rule alone is insufficient."""
+    span = [2.0, 5.0, 8.0, 5.0]  # crosses the notch / the hole
+    inside = [1.0, 5.0, 2.0, 5.0]  # fully within the left lobe / solid
+    assert not _contains_pair(U_NOTCH, (LINE, span))
+    assert _contains_pair(U_NOTCH, (LINE, inside))
+    assert not _contains_pair(HOLED, (LINE, span))
+    assert not _contains_pair(HOLED, (LINESTRING, span))
+    assert not _contains_pair(U_NOTCH, (RECT, [2, 4, 8, 6]))
+    assert _contains_pair(U_NOTCH, (RECT, [1, 4, 3, 6]))
+    assert not _contains_pair(
+        U_NOTCH, (POLYGON, [2, 5, 5, 4, 8, 5, 5, 6, 2, 5], [0])
+    )
+    assert _contains_pair(U_NOTCH, (POLYGON, [1, 5, 2, 4, 3, 5, 2, 6, 1, 5], [0]))
+    # triangle operands keep the vertices-only rule (relates_impl.rs:394-399):
+    # a notch-spanning triangle with all vertices inside IS "contained"
+    assert _contains_pair(U_NOTCH, (TRIANGLE, [2, 5, 8, 5, 5, 1]))
+
+
+def test_polygon_contains_linestring_exterior_asymmetry():
+    """geo 0.14 quirk pinned verbatim: the LineString operand is only
+    checked against HOLE rings, so a notch-crossing LineString with all
+    vertices inside IS contained (unlike the Line operand)."""
+    span = [2.0, 5.0, 8.0, 5.0]
+    assert _contains_pair(U_NOTCH, (LINESTRING, span))
+    assert not _contains_pair(U_NOTCH, (LINE, span))
+
+
+def test_deviation_point_on_linestring_endpoint():
+    """DELIBERATE deviation (kernels.py docstring): a point on a
+    LineString's terminal vertex counts as intersecting (geo 0.14
+    excludes the two endpoints). Pinned so it stays deliberate."""
+    A = gb([(POINT, [0.0, 0.0])])
+    B = gb([(LINESTRING, [0.0, 0.0, 1.0, 0.0, 2.0, 1.0])])
+    i = np.zeros(1, dtype=np.int64)
+    assert bool(kernels.intersects(A, i, B, i)[0])
+    assert scalar_ref.intersects(
+        scalar_ref.make(POINT, [0.0, 0.0]),
+        scalar_ref.make(LINESTRING, [0.0, 0.0, 1.0, 0.0, 2.0, 1.0]),
+    )
+
+
+def test_deviation_ls_contains_line_single_segment():
+    """DELIBERATE deviation (kernels.py docstring): LineString contains
+    Line only when one segment covers both endpoints — a line spanning
+    two collinear segments is NOT contained (geo 0.14 accepts it)."""
+    ls = (LINESTRING, [0.0, 0.0, 1.0, 0.0, 2.0, 0.0])
+    spanning = (LINE, [0.5, 0.0, 1.5, 0.0])
+    within_one = (LINE, [0.2, 0.0, 0.8, 0.0])
+    assert not _contains_pair(ls, spanning)
+    assert _contains_pair(ls, within_one)
+
+
 def test_point_in_holed_polygon():
     square = [0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0]
     hole = [4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0]
