@@ -266,6 +266,7 @@ class SpatialIndex:
         persist: bool = True,
         hot_threshold: int | None = None,
         split_steps: int = 2,
+        cell_target_rows: float | None = None,
     ) -> "SpatialIndex":
         """small_df schema: (id:long, kind:int, coords:array<double>,
         rings:array<int>?) — see sparkutil.geometry_schema. Polygon
@@ -307,7 +308,14 @@ class SpatialIndex:
                 my = max((ymax - ymin), 1e-9) * 1e-6
                 extent = (xmin - mx, ymin - my, xmax + mx, ymax + my)
             grid = Grid(extent)
-            if resolution is None:
+            if resolution is None and cell_target_rows:
+                # density-targeted grid (kNN ring search): ~target rows
+                # per cell so ring 1 already holds ~k candidates
+                resolution = int(np.clip(
+                    round(np.log2(max((n_small or 0) / cell_target_rows, 4.0)) / 2.0),
+                    2, 14,
+                ))
+            elif resolution is None:
                 resolution = grid.choose_resolution(
                     np.array([med_w or 0.0]), np.array([med_h or 0.0])
                 )

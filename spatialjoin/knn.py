@@ -78,10 +78,15 @@ def knn_join(
     with skew handling (results are invariant to the split)."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    # kNN wants DENSITY ~k/2 per cell (the join default picks a much
+    # finer grid sized to geometry extents): ring 1 then holds ~4-5k
+    # candidates, probes finish in one round, and the ring explode
+    # stays at 9 cells/probe instead of (2r+1)^2 with r ~ 10
     idx = SpatialIndex.build(
         spark, small_df, max_distance=0.0, extent=extent, resolution=resolution,
         broadcast=broadcast, validate=validate,
         hot_threshold=hot_threshold, split_steps=split_steps,
+        cell_target_rows=max(k, 1) / 2.0,
     )
     if initial_ring is None:
         # size ring 0 so the expected candidate count per probe is ~2k:
@@ -147,6 +152,11 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
 
     refine_cols = _refine_input_cols(bc, [], point_probe=point_probe)
 
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("SPARK_GRAFT_KNN_DEBUG") == "1"
+
     results = []
     cached = [b_base]
     pending = b_base
@@ -154,6 +164,7 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
     rounds = 0
     while True:
         rounds += 1
+        _t0 = _time.perf_counter()
         probe = with_cells(pending, "b", grid, res, keep_cxy=True)
         probe = _ring_expand(probe, r, n, res)
         cand = probe.join(bcast(small), on="cell", how="inner").select(*refine_cols)
@@ -182,8 +193,12 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
             cand = cand.unionByName(cand_fine)
         # a pair may appear via several (probe-cell, ring-offset) paths
         # and via both index levels; dedupe on ids before the
-        # (idempotent) refine to cut UDF work
-        cand = cand.dropDuplicates(["big_id", "small_id"])
+        # (idempotent) refine to cut UDF work. Point-vs-point needs no
+        # dedup shuffle: each side covers exactly ONE cell, ring cells
+        # are distinct per probe, and a small point lives in either the
+        # cold or the fine level — every pair arises exactly once.
+        if not (point_probe and idx._small_kinds() == {KP}):
+            cand = cand.dropDuplicates(["big_id", "small_id"])
         dists = cand.mapInPandas(refine, out_schema)
         w = Window.partitionBy("big_id").orderBy(F.col("distance").asc(), F.col("small_id").asc())
         topk = (
@@ -191,6 +206,10 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
             .where(F.col("rank") <= k)
         ).persist()  # reused by the done-check action AND the final union
         cached.append(topk)
+        if _dbg:
+            topk.count()
+            print(f"[knn] round {rounds} r={r} topk wall={_time.perf_counter() - _t0:.2f}")
+            _t0 = _time.perf_counter()
         covered = float(r) * min_dim
         ring_spans_grid = r >= n
         if ring_spans_grid or rounds >= max_rounds:
@@ -211,6 +230,8 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
         cached.append(pending_next)
         n_pending = pending_next.count()
         pending = pending_next
+        if _dbg:
+            print(f"[knn] round {rounds} done-check wall={_time.perf_counter() - _t0:.2f} pending={n_pending}")
         if n_pending == 0:
             break
         r *= 4

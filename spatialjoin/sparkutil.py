@@ -22,13 +22,26 @@ def geometry_schema(id_name: str = "id") -> T.StructType:
 def get_spark(cpus: int | None = None, app: str = "spatialjoin", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
     shuffle = shuffle_partitions or max(2 * cpus, 8)
+    # SPARK_GRAFT_MASTER overrides the master URL — e.g.
+    # local-cluster[8,4,6144] for real multi-executor-JVM runs (the
+    # scaling bench uses this: separate executors ≙ separate workers'
+    # allocators/GC/Python daemons, like a real cluster)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.master(master)
+    if master.startswith("local-cluster"):
+        # executor JVMs spawn their own Python workers, which need the
+        # package on their path (a real deployment ships it with
+        # spark-submit --py-files, see bench/submit_job.py)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = builder.config("spark.executorEnv.PYTHONPATH", repo)
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
