@@ -168,10 +168,13 @@ def _refine_input_cols(bc, extra, point_probe: bool = False):
     probes decompose to two scalar doubles — cheaper through the Arrow
     writer than a 2-element array."""
     if point_probe:
+        # probe bbox is unbuffered, so b_xmin/b_ymin ARE the point
+        # coordinates bit-exactly (x - 0.0 == x) — using them lets
+        # Catalyst prune the b_coords array from the probe scan
         cols = [
             "big_id", "small_id",
-            F.element_at("b_coords", 1).alias("bx"),
-            F.element_at("b_coords", 2).alias("by"),
+            F.col("b_xmin").alias("bx"),
+            F.col("b_ymin").alias("by"),
         ]
     else:
         cols = ["big_id", "small_id", "b_kind", "b_coords", "b_rings"]
@@ -286,6 +289,13 @@ class SpatialIndex:
             validate_geoms(small_df)
         s = _prefixed(small_df, "s", "small_id")
         s = with_bbox(s, "s", buffer=max_distance)
+        # unbuffered point coordinates as scalars: all-point workloads
+        # then never touch the coords ARRAY after the covering, so
+        # Catalyst prunes it from the index scan/broadcast — a large
+        # memory-traffic cut on the bandwidth-bound distance paths
+        s = s.withColumn("s_px", F.element_at("s_coords", 1)).withColumn(
+            "s_py", F.element_at("s_coords", 2)
+        )
         if extent is None or resolution is None:
             stats = s.select(
                 F.min("s_xmin"), F.min("s_ymin"), F.max("s_xmax"), F.max("s_ymax"),
@@ -684,13 +694,15 @@ class SpatialIndex:
             and self._small_kinds() == {KP}
         ):
             # point-point distance entirely in the JVM, same float ops as
-            # the numpy kernel (sqrt(dx*dx + dy*dy)), inclusive <=
+            # the numpy kernel (sqrt(dx*dx + dy*dy)), inclusive <=.
+            # Scalar columns only (s_px/s_py stored unbuffered at build;
+            # b_xmin == bx exactly) — the coords arrays get pruned from
+            # both scans, halving the bytes this bandwidth-bound path
+            # pushes through the join
             cand = self._candidates(big_df, validate)
             dist = F.expr(
-                "sqrt((element_at(s_coords, 1) - element_at(b_coords, 1)) * "
-                "(element_at(s_coords, 1) - element_at(b_coords, 1)) + "
-                "(element_at(s_coords, 2) - element_at(b_coords, 2)) * "
-                "(element_at(s_coords, 2) - element_at(b_coords, 2)))"
+                "sqrt((s_px - b_xmin) * (s_px - b_xmin) + "
+                "(s_py - b_ymin) * (s_py - b_ymin))"
             )
             return (
                 cand.withColumn("distance", dist)
