@@ -233,7 +233,7 @@ def main() -> None:
         "",
         "## Per-query wall seconds",
         "",
-        f"| query | local[{n}] | local[{n4}] | speedup | efficiency | output rows |",
+        f"| query | {n} cores | {n4} cores | speedup | efficiency | output rows |",
         "| --- | --- | --- | --- | --- | --- |",
     ]
     for q in best_n:
@@ -247,7 +247,8 @@ def main() -> None:
         "",
         f"- `pip_quad_x{REP_PIP}`: point-in-polygon join, {REP_PIP}x-replicated customer",
         "  points vs supplier quads — JVM cell join + vectorized numpy refine",
-        "  (the one Arrow-boundary path; bandwidth-bound on one box).",
+        "  (the one Arrow-boundary path; scales with executor count now that",
+        "  each executor owns its Arrow allocators).",
         f"- `rects_intersect_x{REP_RECTS}`: rect-rect intersects — entire plan",
         "  whole-stage-codegen'd in the JVM (SQL fast path; zero Python).",
         f"- `prox_points_x{REP_PROX}`: inclusive epsilon-distance join with exact",
