@@ -246,6 +246,56 @@ def q_lines_prox_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.proximity_map(pts, validate=False, big_kinds={0})
 
 
+def q_tris_intersect_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE Intersects through the engine: supplier triangles vs
+    the part-rect index (closed SAT semantics, kernel refine)."""
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    tris = _tris_df(spark, sf_dir, "supplier", "s_suppkey")
+    idx = SpatialIndex.build(spark, rects, validate=False)
+    return idx.spatial_join(tris, how="intersects", validate=False, big_kinds={5})
+
+
+def q_join_with_geos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """with_geos spatial JOIN (src/index.rs:537-599): the contains join
+    returns both sides' geometry through the Arrow refine; projected to
+    oracle-checkable scalars (kinds, probe point, first quad vertex)."""
+    quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, quads, validate=False)
+    out = idx.spatial_join(pts, how="contains", with_geos=True, validate=False,
+                           big_kinds={0})
+    return out.selectExpr(
+        "big_id", "small_id", "b_kind", "s_kind",
+        "element_at(b_coords, 1) AS bpx", "element_at(b_coords, 2) AS bpy",
+        "element_at(s_coords, 1) AS sv0x", "element_at(s_coords, 2) AS sv0y",
+    )
+
+
+def q_events_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal rollup over the events table: event points (from
+    the id hash) assigned to zoom-5 tiles through the engine, grouped
+    by (tile, epoch-hour, event_type) with exact integer-cent sums."""
+    px, py = PX.format(k="event_id"), PY.format(k="event_id")
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id as id", "0 as kind",
+        f"array({px}, {py}) as coords",
+        "cast(null as array<int>) as rings",
+        "ts", "event_type", "value",
+    )
+    geo = pts.select("id", "kind", "coords", "rings")
+    tiles = assign_tiles(geo, zoom=TILE_ZOOM, extent=TILE_EXTENT, validate=False)
+    joined = tiles.join(pts.select("id", "ts", "event_type", "value"), on="id")
+    return (
+        joined.selectExpr(
+            "tx", "ty", "event_type",
+            "CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT) AS epoch_hour",
+            "CAST(round(value * 100e0) AS BIGINT) AS cents",
+        )
+        .groupBy("tx", "ty", "epoch_hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents"))
+    )
+
+
 def q_prox_with_geos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """with_geos variant (src/index.rs:449-475): the proximity join
     returns both sides' geometry columns through the Arrow refine; the
@@ -379,6 +429,81 @@ d AS (SELECT c_custkey, s_suppkey,
       FROM pts, tri)
 SELECT c_custkey AS big_id, s_suppkey AS small_id FROM d
 WHERE NOT ((d1 < 0 OR d2 < 0 OR d3 < 0) AND (d1 > 0 OR d2 > 0 OR d3 > 0))
+""".strip()
+
+
+def _oracle_tris_rects() -> str:
+    """Closed triangle-vs-rect SAT: bbox overlap on x/y, plus for each
+    CCW triangle edge the rect's four corners are not all strictly
+    outside. Exact-arithmetic equivalent of the kernel composite."""
+    cx, cy = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra, rb = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    edges = [("v0x", "v0y", "v1x", "v1y"), ("v1x", "v1y", "v2x", "v2y"),
+             ("v2x", "v2y", "v0x", "v0y")]
+    corners = [("xmin", "ymin"), ("xmax", "ymin"), ("xmax", "ymax"), ("xmin", "ymax")]
+
+    def cross(pxq, pyq, qxq, qyq, X, Y):
+        return f"(({qxq} - {pxq}) * ({Y} - {pyq}) - ({qyq} - {pyq}) * ({X} - {pxq}))"
+
+    edge_conds = "\n  AND ".join(
+        "NOT (" + " AND ".join(f"{cross(*e, X, Y)} < 0" for X, Y in corners) + ")"
+        for e in edges
+    )
+    return f"""
+WITH tri AS MATERIALIZED (SELECT s_suppkey,
+            ({cx}) - ({a}) AS v0x, ({cy}) - ({b}) AS v0y,
+            ({cx}) + ({a}) AS v1x, ({cy}) - ({b}) AS v1y,
+            ({cx}) AS v2x, ({cy}) + ({b}) AS v2y FROM supplier),
+rc AS MATERIALIZED (SELECT p_partkey,
+           ({px_p}) - ({ra}) AS xmin, ({py_p}) - ({rb}) AS ymin,
+           ({px_p}) + ({ra}) AS xmax, ({py_p}) + ({rb}) AS ymax FROM part)
+SELECT tri.s_suppkey AS big_id, rc.p_partkey AS small_id
+FROM tri, rc
+WHERE least(v0x, v1x, v2x) <= xmax AND greatest(v0x, v1x, v2x) >= xmin
+  AND least(v0y, v1y, v2y) <= ymax AND greatest(v0y, v1y, v2y) >= ymin
+  AND {edge_conds}
+""".strip()
+
+
+def _oracle_join_with_geos() -> str:
+    px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    return f"""
+WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
+qds AS (SELECT s_suppkey, {px_s} AS cx, {py_s} AS cy, {a} AS a, {b} AS b FROM supplier)
+SELECT pts.c_custkey AS big_id, qds.s_suppkey AS small_id,
+       0 AS b_kind, 3 AS s_kind,
+       pts.px AS bpx, pts.py AS bpy,
+       (qds.cx) + (qds.a) AS sv0x, qds.cy AS sv0y
+FROM pts, qds
+WHERE ((cx) - (cx + a)) * (py - cy) - ((cy + b) - cy) * (px - (cx + a)) > 0
+  AND ((cx - a) - cx) * (py - (cy + b)) - (cy - (cy + b)) * (px - cx) > 0
+  AND (cx - (cx - a)) * (py - cy) - ((cy - b) - cy) * (px - (cx - a)) > 0
+  AND ((cx + a) - cx) * (py - (cy - b)) - (cy - (cy - b)) * (px - cx) > 0
+""".strip()
+
+
+def _oracle_events_rollup() -> str:
+    px, py = PX.format(k="event_id"), PY.format(k="event_id")
+    ts_w = (TILE_EXTENT[2] - TILE_EXTENT[0]) / (1 << TILE_ZOOM)
+    x0, y0 = TILE_EXTENT[0], TILE_EXTENT[1]
+    ncell = (1 << TILE_ZOOM) - 1
+    ts_sql, x0_sql, y0_sql = f"{ts_w:.17e}", f"{x0:.17e}", f"{y0:.17e}"
+    return f"""
+WITH pts AS (SELECT event_id, {px} AS px, {py} AS py, ts, event_type, value FROM events),
+cells AS (
+  SELECT greatest(0, least({ncell}, CAST(floor((px - ({x0_sql})) / {ts_sql}) AS BIGINT))) AS tx,
+         greatest(0, least({ncell}, CAST(floor((py - ({y0_sql})) / {ts_sql}) AS BIGINT))) AS ty,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch_hour,
+         event_type,
+         CAST(round(value * 100e0) AS BIGINT) AS cents
+  FROM pts)
+SELECT tx, ty, epoch_hour, event_type,
+       count(*) AS n_events, sum(cents) AS sum_cents
+FROM cells GROUP BY 1, 2, 3, 4
 """.strip()
 
 
@@ -589,6 +714,9 @@ ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
         "paths_intersect_rects": _oracle_paths_rects(),
         "lines_intersect_rects": _oracle_lines_rects(),
         "tris_contain_points": _oracle_tris_points(),
+        "tris_intersect_rects": _oracle_tris_rects(),
+        "join_with_geos": _oracle_join_with_geos(),
+        "events_tile_rollup": _oracle_events_rollup(),
         "lines_prox_points": _oracle_lines_prox(),
         "prox_with_geos": _oracle_prox_with_geos(),
         "unmatched_customers": f"""
@@ -659,6 +787,9 @@ QUERIES = {
     "paths_intersect_rects": q_paths_intersect_rects,
     "lines_intersect_rects": q_lines_intersect_rects,
     "tris_contain_points": q_tris_contain_points,
+    "tris_intersect_rects": q_tris_intersect_rects,
+    "join_with_geos": q_join_with_geos,
+    "events_tile_rollup": q_events_tile_rollup,
     "lines_prox_points": q_lines_prox_points,
     "prox_with_geos": q_prox_with_geos,
     "knn_points": q_knn_points,
