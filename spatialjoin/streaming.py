@@ -51,6 +51,68 @@ def windowed_cell_counts(events: DataFrame, grid: Grid, res: int,
     )
 
 
+CELL_SKETCH_OUTPUT = "cell long, n_total long, sample_size int, q50 double, q90 double"
+CELL_SKETCH_STATE = "n long, hashes array<long>, vals array<double>"
+
+
+def stateful_cell_sketch(events: DataFrame, grid: Grid, res: int, k: int = 64,
+                         id_col: str = "event_id", value_col: str = "value",
+                         x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR (applyInPandasWithState): a per-cell
+    bottom-k (k-minimum-values) sketch of the event value distribution,
+    maintained across triggers.
+
+    The sample is the k events with the SMALLEST xxhash64(id) — a
+    deterministic, order- and batch-boundary-independent uniform sample
+    (the classic KMV construction), so the final state equals the batch
+    computation over all events regardless of how the stream was
+    chunked. Per trigger each updated cell emits its current total
+    count and p50/p90 estimates over the sampled values. Not
+    expressible with built-in windowed aggregates (the state is an
+    evolving sample, not an algebraic aggregate).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cells = with_event_cells(events, grid, res, x_col, y_col)
+    cells = cells.withColumn("__h", F.xxhash64(F.col(id_col)))
+    src = cells.select("cell", "__h", F.col(value_col).alias("__v"))
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, hashes, vals = state.get
+            hashes = np.asarray(hashes, dtype=np.int64)
+            vals = np.asarray(vals, dtype=np.float64)
+        else:
+            n = 0
+            hashes = np.zeros(0, dtype=np.int64)
+            vals = np.zeros(0, dtype=np.float64)
+        for pdf in pdfs:
+            n += len(pdf)
+            hashes = np.concatenate([hashes, pdf["__h"].to_numpy(np.int64)])
+            vals = np.concatenate([vals, pdf["__v"].to_numpy(np.float64)])
+            if len(hashes) > k:
+                keep = np.argsort(hashes, kind="stable")[:k]
+                hashes, vals = hashes[keep], vals[keep]
+        state.update((int(n), [int(h) for h in hashes], [float(v) for v in vals]))
+        if len(vals):
+            sv = np.sort(vals)
+            q50 = float(sv[int(0.5 * (len(sv) - 1))])
+            q90 = float(sv[int(0.9 * (len(sv) - 1))])
+        else:
+            q50 = q90 = float("nan")
+        yield pd.DataFrame(
+            {"cell": [key[0]], "n_total": [int(n)], "sample_size": [len(vals)],
+             "q50": [q50], "q90": [q90]}
+        )
+
+    return src.groupBy("cell").applyInPandasWithState(
+        update, CELL_SKETCH_OUTPUT, CELL_SKETCH_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def enrich_stream_with_index(events: DataFrame, index: SpatialIndex,
                              x_col: str = "x", y_col: str = "y") -> DataFrame:
     """Stream-static join: tag each streaming event with the indexed

@@ -111,3 +111,69 @@ def test_streaming_windowed_cell_counts(spark, tmp_path):
     total = sum(r.n_events for r in got)
     assert total == 5  # the first five events; the watermark-pusher window stays open
     assert all(r.n_events >= 1 and r.sum_value is not None for r in got)
+
+
+def test_stateful_cell_sketch_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): the per-cell
+    bottom-k sketch after streaming in two chunks must equal the batch
+    computation over all events — the KMV construction is order- and
+    batching-independent by design."""
+    import numpy as np
+
+    from spatialjoin.streaming import stateful_cell_sketch
+
+    src = str(tmp_path / "sketch_in")
+    grid = Grid((-10.0, -10.0, 10.0, 10.0))
+    schema = "event_id long, ts string, x double, y double, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "x", "y", "value"
+        )
+
+    rows = [
+        (i, "2026-01-01 00:00:00", -9.0 + (i % 40) * 0.45, -9.0 + (i % 7) * 2.5,
+         float((i * 37) % 101))
+        for i in range(400)
+    ]
+    mk(rows[:250]).write.mode("overwrite").parquet(src)
+    mk(rows[250:]).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(mk(rows[:1]).schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = stateful_cell_sketch(stream, grid, res=3, k=16)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName("sketch_out")
+        .option("checkpointLocation", str(tmp_path / "sketch_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.sql("SELECT * FROM sketch_out").collect()
+    assert emitted
+    # final emission per cell = the row with the largest running total
+    final = {}
+    for r in emitted:
+        if r.cell not in final or r.n_total > final[r.cell].n_total:
+            final[r.cell] = r
+
+    # batch twin: same cells, same hash rule, same bottom-k + quantiles
+    from pyspark.sql import functions as F
+    from spatialjoin.streaming import with_event_cells
+
+    batch = with_event_cells(mk(rows), grid, 3).withColumn(
+        "__h", F.xxhash64("event_id")
+    ).select("cell", "__h", "value").collect()
+    per_cell = {}
+    for r in batch:
+        per_cell.setdefault(r.cell, []).append((r["__h"], r.value))
+    assert set(final) == set(per_cell)
+    for cell, pairs in per_cell.items():
+        pairs.sort()
+        vals = np.sort(np.array([v for _, v in pairs[:16]]))
+        got = final[cell]
+        assert got.n_total == len(pairs)
+        assert got.sample_size == len(vals)
+        assert got.q50 == float(vals[int(0.5 * (len(vals) - 1))])
+        assert got.q90 == float(vals[int(0.9 * (len(vals) - 1))])
