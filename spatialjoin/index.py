@@ -102,6 +102,54 @@ def with_cells(df: DataFrame, prefix: str, grid: Grid, res: int, keep_cxy: bool)
     return df if keep_cxy else df.drop("cx", "cy")
 
 
+def _clamped_cell_coord_col(col, origin: float, size_col, n_col):
+    """Per-row cell coordinate: like _clamped_cell_coord but cell size
+    and count are COLUMNS (multi-level covering)."""
+    raw = F.floor((col - F.lit(origin)) / size_col).cast("long")
+    return F.greatest(F.lit(0).cast("long"), F.least(n_col - 1, raw))
+
+
+def geometry_level(prefix: str, grid: Grid, max_res: int, min_res: int = 0):
+    """Size-stratified level for a row: the resolution where the
+    geometry spans about one cell (<= 2 cells/axis), clamped to
+    [min_res, max_res]. Points and tiny shapes land on max_res."""
+    span = float(max(grid.x1 - grid.x0, grid.y1 - grid.y0))
+    w = F.col(f"{prefix}_xmax") - F.col(f"{prefix}_xmin")
+    h = F.col(f"{prefix}_ymax") - F.col(f"{prefix}_ymin")
+    maxwh = F.greatest(w, h)
+    lvl = F.when(maxwh <= 0.0, F.lit(max_res)).otherwise(
+        F.floor(F.log2(F.lit(2.0 * span) / maxwh))
+    )
+    return F.greatest(
+        F.lit(min_res).cast("long"),
+        F.least(F.lit(max_res).cast("long"), lvl.cast("long")),
+    )
+
+
+def with_cells_at_level(df: DataFrame, prefix: str, grid: Grid, level_col,
+                        keep_cxy: bool) -> DataFrame:
+    """Covering cells at a PER-ROW level column — pure JVM column math
+    (the fixed-resolution with_cells is the special case level=lit(r))."""
+    df = df.withColumn("lvl", level_col)
+    n = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
+    cw = F.lit(float(grid.x1 - grid.x0)) / n
+    ch = F.lit(float(grid.y1 - grid.y0)) / n
+    cx0 = _clamped_cell_coord_col(F.col(f"{prefix}_xmin"), grid.x0, cw, n)
+    cx1 = _clamped_cell_coord_col(F.col(f"{prefix}_xmax"), grid.x0, cw, n)
+    cy0 = _clamped_cell_coord_col(F.col(f"{prefix}_ymin"), grid.y0, ch, n)
+    cy1 = _clamped_cell_coord_col(F.col(f"{prefix}_ymax"), grid.y0, ch, n)
+    df = df.withColumn("cx", F.explode(F.sequence(cx0, cx1)))
+    df = df.withColumn("cy", F.explode(F.sequence(cy0, cy1)))
+    df = df.withColumn(
+        "cell",
+        F.shiftleft(F.col("lvl"), 58)
+        .bitwiseOR(F.shiftleft(F.col("cx"), 29))
+        .bitwiseOR(F.col("cy")),
+    )
+    df = df.drop("lvl")
+    return df if keep_cxy else df.drop("cx", "cy")
+
+
 def with_fine_cells(df: DataFrame, prefix: str, grid: Grid, res: int, fine_res: int) -> DataFrame:
     """Re-cover rows at ``fine_res`` RESTRICTED to their (hot) parent
     cell: the fine coordinate range of the row's bbox is intersected
@@ -239,7 +287,8 @@ class SpatialIndex:
                  hot_cells: DataFrame | None = None,
                  small_fine: DataFrame | None = None,
                  fine_resolution: int | None = None,
-                 small_geo_bc=None):
+                 small_geo_bc=None,
+                 levels: list | None = None):
         self.spark = spark
         self.small_cells = small_cells  # cold cells (all cells when no split)
         self.grid = grid
@@ -254,6 +303,9 @@ class SpatialIndex:
         # of once per candidate row through the (expensive) row->Arrow
         # writer; candidates then carry only ids + probe geometry
         self.small_geo_bc = small_geo_bc
+        # multilevel (size-stratified) index: populated LEVELS the probe
+        # side must cover (None = single-resolution index)
+        self.levels = levels
 
     # -- construction -------------------------------------------------------
 
@@ -270,6 +322,7 @@ class SpatialIndex:
         hot_threshold: int | None = None,
         split_steps: int = 2,
         cell_target_rows: float | None = None,
+        multilevel: bool = False,
     ) -> "SpatialIndex":
         """small_df schema: (id:long, kind:int, coords:array<double>,
         rings:array<int>?) — see sparkutil.geometry_schema. Polygon
@@ -283,6 +336,16 @@ class SpatialIndex:
         candidate pair is emitted only in the level owning the cell of
         its bbox-intersection corner, so results are identical with
         splitting on or off.
+
+        ``multilevel``: SIZE-stratified covering for mixed-scale
+        corpora — each small geometry indexes at the level where it
+        spans ~one cell (<= ~9 covering cells per geometry regardless of
+        size; a continent-sized polygon no longer explodes into
+        thousands of fine cells), and probes cover every populated
+        level. Each small row lives on exactly one level, so the
+        per-level reference-point rule keeps results identical to the
+        single-resolution index (invariance-tested). Mutually exclusive
+        with ``hot_threshold`` (size skew vs density skew).
         """
         max_distance = validate_max_distance(max_distance)
         if validate:
@@ -337,7 +400,14 @@ class SpatialIndex:
                     )
         else:
             grid = Grid(extent)
-        small_all = with_cells(s, "s", grid, resolution, keep_cxy=True)
+        if multilevel and hot_threshold is not None:
+            raise ValueError("multilevel and hot_threshold are mutually exclusive")
+        levels = None
+        if multilevel:
+            lvl = geometry_level("s", grid, resolution)
+            small_all = with_cells_at_level(s, "s", grid, lvl, keep_cxy=True)
+        else:
+            small_all = with_cells(s, "s", grid, resolution, keep_cxy=True)
         hot = None
         small_fine = None
         fine_res = None
@@ -358,6 +428,11 @@ class SpatialIndex:
             small_cells = small_cells.persist()
             if small_fine is not None:
                 small_fine = small_fine.persist()
+        if multilevel:
+            levels = sorted(
+                r[0] for r in
+                small_cells.select(F.shiftright("cell", 58).alias("l")).distinct().collect()
+            )
         bc = broadcast
         if bc == "auto":
             n_cells = small_cells.count()  # materializes the cache too
@@ -381,7 +456,7 @@ class SpatialIndex:
         return SpatialIndex(
             spark, small_cells, grid, resolution, max_distance, bool(bc),
             hot_cells=hot, small_fine=small_fine, fine_resolution=fine_res,
-            small_geo_bc=small_geo_bc,
+            small_geo_bc=small_geo_bc, levels=levels,
         )
 
     # -- operators -----------------------------------------------------------
@@ -399,6 +474,30 @@ class SpatialIndex:
         ref_cy = _clamped_cell_coord(ry, self.grid.y0, ch, n)
         return cand.where(bbox_ok & (F.col("cx") == ref_cx) & (F.col("cy") == ref_cy))
 
+    def _ref_filter_ml(self, cand: DataFrame) -> DataFrame:
+        """Reference-point dedup with the resolution decoded PER ROW
+        from the cell id (multilevel indexes)."""
+        rx = F.greatest("s_xmin", "b_xmin")
+        ry = F.greatest("s_ymin", "b_ymin")
+        bbox_ok = (rx <= F.least("s_xmax", "b_xmax")) & (ry <= F.least("s_ymax", "b_ymax"))
+        n = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(shiftright(cell, 58) AS INT))")
+        cw = F.lit(float(self.grid.x1 - self.grid.x0)) / n
+        ch = F.lit(float(self.grid.y1 - self.grid.y0)) / n
+        ref_cx = _clamped_cell_coord_col(rx, self.grid.x0, cw, n)
+        ref_cy = _clamped_cell_coord_col(ry, self.grid.y0, ch, n)
+        return cand.where(bbox_ok & (F.col("cx") == ref_cx) & (F.col("cy") == ref_cy))
+
+    def _probe_cells_ml(self, b: DataFrame) -> DataFrame:
+        """Probe covering over every populated level of a multilevel
+        index — one explode over the (few) level literals, then the
+        per-row-level covering; all JVM column math."""
+        b = b.withColumn(
+            "__lvl",
+            F.explode(F.array(*[F.lit(int(l)).cast("long") for l in self.levels])),
+        )
+        b = with_cells_at_level(b, "b", self.grid, F.col("__lvl"), keep_cxy=True)
+        return b.drop("__lvl")
+
     def _probe_cells(self, big_df: DataFrame, validate: bool) -> DataFrame:
         """Probe-side covering across all index levels (cold + fine)."""
         if validate:
@@ -406,6 +505,8 @@ class SpatialIndex:
         b = _prefixed(big_df, "b", "big_id")
         b = ensure_parallelism(b)
         b = with_bbox(b, "b", buffer=0.0)
+        if self.levels is not None:
+            return self._probe_cells_ml(b)
         b = with_cells(b, "b", self.grid, self.resolution, keep_cxy=True)
         if self.hot_cells is None:
             return b
@@ -503,11 +604,18 @@ class SpatialIndex:
         b = _prefixed(big_df, "b", "big_id")
         b = ensure_parallelism(b)
         b = with_bbox(b, "b", buffer=0.0)
-        b = with_cells(b, "b", self.grid, self.resolution, keep_cxy=True)
 
         def bcast(df):
             return F.broadcast(df) if self.broadcast_small else df
 
+        if self.levels is not None:
+            b = self._probe_cells_ml(b)
+            cand = b.join(bcast(self.small_cells), on="cell", how="inner")
+            # each small row lives on exactly ONE level, so the per-row
+            # reference-point rule dedups within that level and levels
+            # never overlap
+            return self._ref_filter_ml(cand)
+        b = with_cells(b, "b", self.grid, self.resolution, keep_cxy=True)
         if self.hot_cells is None:
             cand = b.join(bcast(self.small_cells), on="cell", how="inner")
             return self._ref_filter(cand, self.resolution)

@@ -159,6 +159,29 @@ def q_rects_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.spatial_join(big, how="intersects", validate=False, big_kinds={4})
 
 
+# bimodal rect half-sizes: every 13th key is ~20x larger — the
+# mixed-scale corpus the multilevel (size-stratified) index exists for
+MRA = "CASE WHEN {k} % 13 = 0 THEN 15e-1 + ({k} % 7) / 7e0 * 15e-1 ELSE " + RA + " END"
+MRB = "CASE WHEN {k} % 13 = 0 THEN 15e-1 + ({k} % 11) / 11e0 * 15e-1 ELSE " + RB + " END"
+
+
+def q_mixed_rects_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-scale join through the MULTILEVEL index: bimodal part
+    rects (tiny + huge) vs lineitem rects; each small rect indexes at
+    the level matching its size, probes cover every populated level."""
+    px, py = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra, rb = MRA.format(k="p_partkey"), MRB.format(k="p_partkey")
+    small = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "p_partkey as id", "4 as kind",
+        f"array(({px}) - ({ra}), ({py}) - ({rb}), ({px}) + ({ra}), ({py}) + ({rb})) as coords",
+        "cast(null as array<int>) as rings",
+    )
+    big = _rects_df(spark, sf_dir, "lineitem", "(l_orderkey * 10 + l_linenumber)",
+                    id_expr=LINEITEM_ID)
+    idx = SpatialIndex.build(spark, small, validate=False, multilevel=True)
+    return idx.spatial_join(big, how="intersects", validate=False, big_kinds={4})
+
+
 def q_points_within_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'within' path: customer points (small) WITHIN supplier quads (big)."""
     pts = _points_df(spark, sf_dir, "customer", "c_custkey")
@@ -628,6 +651,17 @@ SELECT pts.c_custkey AS big_id, rcs.p_partkey AS small_id
 FROM pts, rcs
 WHERE px >= xmin AND px <= xmax AND py >= ymin AND py <= ymax
 """.strip(),
+        "mixed_rects_intersect": f"""
+WITH a AS (SELECT p_partkey,
+               ({px_p}) - ({MRA.format(k="p_partkey")}) AS xmin, ({py_p}) - ({MRB.format(k="p_partkey")}) AS ymin,
+               ({px_p}) + ({MRA.format(k="p_partkey")}) AS xmax, ({py_p}) + ({MRB.format(k="p_partkey")}) AS ymax FROM part),
+b AS (SELECT {lk} AS lid,
+               ({px_l}) - ({ra_l}) AS xmin, ({py_l}) - ({rb_l}) AS ymin,
+               ({px_l}) + ({ra_l}) AS xmax, ({py_l}) + ({rb_l}) AS ymax FROM lineitem)
+SELECT b.lid AS big_id, a.p_partkey AS small_id
+FROM a JOIN b
+  ON a.xmin <= b.xmax AND a.xmax >= b.xmin AND a.ymin <= b.ymax AND a.ymax >= b.ymin
+""".strip(),
         "rects_intersect": f"""
 WITH a AS (SELECT p_partkey,
                ({px_p}) - ({ra_p}) AS xmin, ({py_p}) - ({rb_p}) AS ymin,
@@ -783,6 +817,7 @@ QUERIES = {
     "points_within_quads": q_points_within_quads,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
+    "mixed_rects_intersect": q_mixed_rects_intersect,
     "prox_points": q_prox_points,
     "paths_intersect_rects": q_paths_intersect_rects,
     "lines_intersect_rects": q_lines_intersect_rects,

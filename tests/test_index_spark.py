@@ -216,6 +216,87 @@ def test_fat_geometries_skip_broadcast(spark, monkeypatch):
     assert got == want
 
 
+def _mixed_size_rows(rng, n):
+    """Bimodal corpus: many tiny shapes + a few huge ones (the covering
+    blowup case a single-resolution grid handles badly)."""
+    rows = []
+    for i in range(n):
+        cx, cy = rng.uniform(-8, 8), rng.uniform(-8, 8)
+        if i % 17 == 0:
+            h = rng.uniform(3.0, 7.0)  # huge
+        else:
+            h = rng.uniform(0.01, 0.1)  # tiny
+        if rng.random() < 0.5:
+            rows.append((RECT, [cx - h, cy - h, cx + h, cy + h]))
+        else:
+            rows.append((POLYGON, [cx + h, cy, cx, cy + h, cx - h, cy, cx, cy - h,
+                                   cx + h, cy], [0]))
+    return rows
+
+
+def test_multilevel_index_invariance(spark):
+    """Size-stratified multilevel covering returns IDENTICAL results to
+    the single-resolution index, for joins and proximity maps, on a
+    corpus mixing huge and tiny geometries."""
+    rng = random.Random(23)
+    small_rows = _mixed_size_rows(rng, 200)
+    big_rows = _mixed_size_rows(rng, 200)
+    small = geoms_to_df(spark, small_rows)
+    big = geoms_to_df(spark, big_rows)
+    for how in ("intersects", "contains", "within"):
+        base = run_join(spark, small_rows, big_rows, how)
+        idx = SpatialIndex.build(spark, small, validate=False, multilevel=True)
+        assert idx.levels is not None and len(idx.levels) >= 2, idx.levels
+        got = sorted((r.big_id, r.small_id) for r in
+                     idx.spatial_join(big, how=how, validate=False).collect())
+        idx.unpersist()
+        assert got == base, how
+    a = SpatialIndex.build(spark, small, max_distance=0.5, validate=False)
+    want = sorted((r.big_id, r.small_id, r.distance) for r in
+                  a.proximity_map(big, validate=False).collect())
+    a.unpersist()
+    b = SpatialIndex.build(spark, small, max_distance=0.5, validate=False,
+                           multilevel=True)
+    got = sorted((r.big_id, r.small_id, r.distance) for r in
+                 b.proximity_map(big, validate=False).collect())
+    b.unpersist()
+    assert got == want
+
+
+def test_multilevel_bounds_covering(spark):
+    """The point of the multilevel index: per-geometry covering stays
+    O(1) cells no matter the geometry size (a huge shape at the fine
+    resolution would cover thousands)."""
+    rng = random.Random(29)
+    small_rows = _mixed_size_rows(rng, 150)
+    small = geoms_to_df(spark, small_rows)
+    from pyspark.sql import functions as F
+
+    idx = SpatialIndex.build(spark, small, validate=False, multilevel=True)
+    per_geom = idx.small_cells.groupBy("small_id").count().agg(F.max("count")).first()[0]
+    idx.unpersist()
+    assert per_geom <= 9, f"multilevel covering should be <= 9 cells, got {per_geom}"
+    idx1 = SpatialIndex.build(spark, small, validate=False)
+    per_geom1 = idx1.small_cells.groupBy("small_id").count().agg(F.max("count")).first()[0]
+    idx1.unpersist()
+    assert per_geom1 > per_geom, "single-res covering should blow up on huge shapes"
+
+
+def test_multilevel_cogroup_strategy(spark):
+    rng = random.Random(31)
+    small_rows = _mixed_size_rows(rng, 120)
+    big_rows = _mixed_size_rows(rng, 120)
+    small = geoms_to_df(spark, small_rows)
+    big = geoms_to_df(spark, big_rows)
+    idx = SpatialIndex.build(spark, small, validate=False, multilevel=True)
+    a = sorted((r.big_id, r.small_id) for r in
+               idx.spatial_join(big, validate=False, strategy="pairs").collect())
+    b = sorted((r.big_id, r.small_id) for r in
+               idx.spatial_join(big, validate=False, strategy="cogroup").collect())
+    idx.unpersist()
+    assert a == b
+
+
 def test_probe_outside_extent_is_safe(spark):
     """Probe-side geometry outside the index extent must not match
     spuriously nor crash (it clamps into edge cells; refine rejects)."""
