@@ -33,7 +33,15 @@ from pyspark.sql import types as T
 from . import kernels
 from .geom import GeomBatch
 from .grid import Grid
-from .index import SpatialIndex, _prefixed, _refine_sides, with_bbox, with_cells, validate_geoms
+from .index import (
+    SpatialIndex,
+    _point_batch,
+    _prefixed,
+    _refine_sides,
+    validate_geoms,
+    with_bbox,
+    with_cells,
+)
 
 
 def _ring_expand(df: DataFrame, r: int, n: int, res: int) -> DataFrame:
@@ -133,6 +141,39 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
             T.StructField("distance", T.DoubleType(), False),
         ]
     )
+    topk_schema = T.StructType(out_schema.fields + [
+        T.StructField("rank", T.IntegerType(), False),
+    ])
+
+    def brute_force_topk(iterator):
+        """Straggler sweep: exact kNN of each pending probe against the
+        ENTIRE broadcast small side — replaces up to log4(grid) ring
+        escalations when only a handful of probes remain."""
+        ids_all, A = bc.value
+        n_small = len(ids_all)
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            B = _point_batch(pdf["bx"].to_numpy(), pdf["by"].to_numpy()) \
+                if "bx" in pdf.columns else GeomBatch.from_columns(
+                    pdf["b_kind"].to_numpy(), pdf["b_coords"].to_list(),
+                    pdf["b_rings"].to_list())
+            ai = np.arange(n_small, dtype=np.int64)
+            outs = []
+            for row in range(len(pdf)):
+                d = kernels.distance(A, ai, B, np.full(n_small, row, dtype=np.int64))
+                order = np.lexsort((ids_all, d))[:k]
+                outs.append((pdf["big_id"].iloc[row], ids_all[order], d[order]))
+            import pandas as pd
+
+            yield pd.DataFrame({
+                "big_id": np.repeat([o[0] for o in outs],
+                                    [len(o[1]) for o in outs]),
+                "small_id": np.concatenate([o[1] for o in outs]),
+                "distance": np.concatenate([o[2] for o in outs]),
+                "rank": np.concatenate(
+                    [np.arange(1, len(o[1]) + 1, dtype=np.int32) for o in outs]),
+            })
 
     def refine(iterator):
         for pdf in iterator:
@@ -233,6 +274,19 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
         if _dbg:
             print(f"[knn] round {rounds} done-check wall={_time.perf_counter() - _t0:.2f} pending={n_pending}")
         if n_pending == 0:
+            break
+        if bc is not None and n_pending <= 4096:
+            # straggler sweep: exact brute force against the broadcast
+            # index beats up to log4(grid) more ring-escalation rounds
+            if point_probe:
+                rsel = pending.select(
+                    "big_id", F.col("b_xmin").alias("bx"), F.col("b_ymin").alias("by")
+                )
+            else:
+                rsel = pending.select("big_id", "b_kind", "b_coords", "b_rings")
+            results.append(rsel.mapInPandas(brute_force_topk, topk_schema))
+            if _dbg:
+                print(f"[knn] brute-force sweep for {n_pending} stragglers")
             break
         r *= 4
     out = results[0]
