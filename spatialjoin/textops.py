@@ -418,6 +418,31 @@ SELECT doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY doc_id
 """.strip()
 
 
+def q_token_top_terms(spark: SparkSession, sf_dir: str, topn: int = 20) -> DataFrame:
+    """Corpus token histogram (whitespace tokenization + subword-ish
+    alnum chunks via regexp): top terms by frequency, deterministic
+    tie-break. The groupBy is a hash shuffle on the token — the same
+    plan at 100 TB, with partial map-side aggregation."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(topn)
+    )
+
+
+ORACLE_TOKEN_TOP_TERMS = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok FROM documents
+)
+SELECT tok, count(*) AS n FROM toks GROUP BY tok
+ORDER BY n DESC, tok ASC LIMIT 20
+""".strip()
+
+
 TEXT_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -426,9 +451,11 @@ TEXT_QUERIES = {
     "doc_stats": q_doc_stats,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_fingerprint,
+    "token_top_terms": q_token_top_terms,
 }
 
 TEXT_ORACLES = {
+    "token_top_terms": ORACLE_TOKEN_TOP_TERMS,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "minhash_lsh": _oracle_minhash(),
