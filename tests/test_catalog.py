@@ -70,3 +70,52 @@ def test_registered_sql_functions(spark):
         "SELECT sj_intersects(5, array(1e0,1e0,1e0,1e0,1e0,1e0), array(), 0, array(1e0,1e0), array()) AS q"
     ).first()
     assert row2.q
+
+
+def test_zorder_clustered_write(spark, tmp_path):
+    """Z-order clustering: zkey equals the Python Morton code, and row
+    groups within each written file are zkey-sorted (disjoint min/max
+    ranges), which is what parquet row-group pruning keys off."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spatialjoin.catalog import Z_RES, with_zorder_key, write_geo_table_clustered
+
+    rng = random.Random(9)
+    rows = [(POINT, [rng.uniform(-9, 9), rng.uniform(-9, 9)]) for _ in range(4000)]
+    df = geoms_to_df(spark, rows)
+    grid = Grid((-10.0, -10.0, 10.0, 10.0))
+
+    # zkey vs independent Python Morton code
+    sample = with_zorder_key(df, grid).select("id", "zkey").collect()
+    n = 1 << Z_RES
+    cw, ch = grid.cell_size(Z_RES)
+    for r in sample[:200]:
+        x, y = rows[r.id][1]
+        cx = max(0, min(n - 1, int((x - grid.x0) // cw)))
+        cy = max(0, min(n - 1, int((y - grid.y0) // ch)))
+        want = 0
+        for b in range(Z_RES):
+            want |= ((cx >> b) & 1) << (2 * b + 1)
+            want |= ((cy >> b) & 1) << (2 * b)
+        assert r.zkey == want, (r.id, r.zkey, want)
+
+    path = str(tmp_path / "geo_z")
+    write_geo_table_clustered(df, path, grid)
+    back = read_geo_table(spark, path)
+    assert back.count() == 4000
+
+    checked = 0
+    for f in glob.glob(f"{path}/cell_p=*/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        zi = md.schema.to_arrow_schema().names.index("zkey")
+        prev_max = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(zi).statistics
+            assert st is not None
+            if prev_max is not None:
+                assert st.min >= prev_max, f"{f}: row groups not zkey-sorted"
+            prev_max = st.max
+            checked += 1
+    assert checked > 0
