@@ -252,6 +252,53 @@ def _point_batch(px, py):
     )
 
 
+def _arrow_point_refine(bc, mode, how=None, max_d=None):
+    """mapInArrow refine for POINT probes with a broadcast small side:
+    primitive columns cross the boundary as raw Arrow buffers with no
+    pandas materialization on either side (measured: the pandas
+    conversion is a large share of the exchange cost and scales worse
+    than the buffers themselves)."""
+
+    def fn(it):
+        import pyarrow as pa
+
+        ids_geo, A = bc.value
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = {nm: batch.column(i) for i, nm in enumerate(batch.schema.names)}
+            bid = col["big_id"].to_numpy(zero_copy_only=False)
+            sid = col["small_id"].to_numpy(zero_copy_only=False)
+            B = _point_batch(
+                col["bx"].to_numpy(zero_copy_only=False),
+                col["by"].to_numpy(zero_copy_only=False),
+            )
+            ai = np.searchsorted(ids_geo, sid)
+            bi = np.arange(n, dtype=np.int64)
+            if mode == "join":
+                if how == "intersects":
+                    mask = kernels.intersects(A, ai, B, bi)
+                elif how == "contains":
+                    mask = kernels.contains(A, ai, B, bi)
+                else:  # within: big contains small (src/index.rs:528-533)
+                    mask = kernels.contains(B, bi, A, ai)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(bid[mask]), pa.array(sid[mask])],
+                    names=["big_id", "small_id"],
+                )
+            else:
+                d = kernels.distance(A, ai, B, bi)
+                assert np.isfinite(d).all(), "non-finite distance (index.rs:436)"
+                mask = d <= max_d
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(bid[mask]), pa.array(sid[mask]), pa.array(d[mask])],
+                    names=["big_id", "small_id", "distance"],
+                )
+
+    return fn
+
+
 def _refine_sides(pdf, small_geo_bc):
     """(A, ai, B) for a candidate batch: the small side comes from the
     broadcast GeomBatch (looked up by id) when available, else from the
@@ -770,6 +817,8 @@ class SpatialIndex:
 
         point_probe = not with_geos and big_kinds is not None and set(big_kinds) == {KP}
         cand = cand.select(*_refine_input_cols(bc, extra, point_probe))
+        if point_probe and bc is not None:
+            return cand.mapInArrow(_arrow_point_refine(bc, "join", how=how), schema)
 
         def refine(iterator):
             for pdf in iterator:
@@ -839,6 +888,8 @@ class SpatialIndex:
 
         point_probe = not with_geos and big_kinds is not None and set(big_kinds) == {KP2}
         cand = cand.select(*_refine_input_cols(bc, extra, point_probe))
+        if point_probe and bc is not None:
+            return cand.mapInArrow(_arrow_point_refine(bc, "prox", max_d=max_d), schema)
 
         def refine(iterator):
             for pdf in iterator:

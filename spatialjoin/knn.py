@@ -240,7 +240,14 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
         # cold or the fine level — every pair arises exactly once.
         if not (point_probe and idx._small_kinds() == {KP}):
             cand = cand.dropDuplicates(["big_id", "small_id"])
-        dists = cand.mapInPandas(refine, out_schema)
+        if point_probe and bc is not None:
+            from .index import _arrow_point_refine
+
+            dists = cand.mapInArrow(
+                _arrow_point_refine(bc, "prox", max_d=np.inf), out_schema
+            )
+        else:
+            dists = cand.mapInPandas(refine, out_schema)
         w = Window.partitionBy("big_id").orderBy(F.col("distance").asc(), F.col("small_id").asc())
         topk = (
             dists.withColumn("rank", F.row_number().over(w))
