@@ -101,7 +101,13 @@ class ResumableRun:
                                 rows += pq.ParquetFile(p).metadata.num_rows
                     os.replace(src, final)
                 else:
-                    os.makedirs(final, exist_ok=True)  # empty bucket
+                    # empty bucket: write a schema-bearing empty parquet
+                    # (limit(0) folds to an empty relation — no upstream
+                    # execution) so read()'s bucket=* glob always infers
+                    # the output schema, even when EVERY bucket is empty
+                    staged.drop("__bucket").limit(0).write.mode(
+                        "overwrite"
+                    ).parquet(final)
                 manifest = {
                     "bucket": i,
                     "key_col": self.key_col,

@@ -148,9 +148,17 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
     def brute_force_topk(iterator):
         """Straggler sweep: exact kNN of each pending probe against the
         ENTIRE broadcast small side — replaces up to log4(grid) ring
-        escalations when only a handful of probes remain."""
+        escalations when only a handful of probes remain. One batched
+        kernels.distance call per probe-chunk (chunks bound the pair
+        matrix at ~4M entries); row-wise lexsort keeps the exact
+        (distance, small_id) tie-break of the windowed path."""
+        import pandas as pd
+
         ids_all, A = bc.value
         n_small = len(ids_all)
+        kk = min(k, n_small)
+        chunk = max(1, 4_000_000 // max(n_small, 1))
+        ai_chunk = np.tile(np.arange(n_small, dtype=np.int64), chunk)
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
@@ -158,22 +166,21 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
                 if "bx" in pdf.columns else GeomBatch.from_columns(
                     pdf["b_kind"].to_numpy(), pdf["b_coords"].to_list(),
                     pdf["b_rings"].to_list())
-            ai = np.arange(n_small, dtype=np.int64)
-            outs = []
-            for row in range(len(pdf)):
-                d = kernels.distance(A, ai, B, np.full(n_small, row, dtype=np.int64))
-                order = np.lexsort((ids_all, d))[:k]
-                outs.append((pdf["big_id"].iloc[row], ids_all[order], d[order]))
-            import pandas as pd
-
-            yield pd.DataFrame({
-                "big_id": np.repeat([o[0] for o in outs],
-                                    [len(o[1]) for o in outs]),
-                "small_id": np.concatenate([o[1] for o in outs]),
-                "distance": np.concatenate([o[2] for o in outs]),
-                "rank": np.concatenate(
-                    [np.arange(1, len(o[1]) + 1, dtype=np.int32) for o in outs]),
-            })
+            big_ids = pdf["big_id"].to_numpy()
+            for lo in range(0, len(pdf), chunk):
+                p = min(chunk, len(pdf) - lo)
+                ai = ai_chunk[: p * n_small]
+                bi = np.repeat(np.arange(lo, lo + p, dtype=np.int64), n_small)
+                d = kernels.distance(A, ai, B, bi).reshape(p, n_small)
+                order = np.lexsort(
+                    (np.broadcast_to(ids_all, d.shape), d)
+                )[:, :kk]
+                yield pd.DataFrame({
+                    "big_id": np.repeat(big_ids[lo:lo + p], kk),
+                    "small_id": ids_all[order].ravel(),
+                    "distance": np.take_along_axis(d, order, axis=1).ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), p),
+                })
 
     def refine(iterator):
         for pdf in iterator:
@@ -260,7 +267,7 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
             _t0 = _time.perf_counter()
         covered = float(r) * min_dim
         ring_spans_grid = r >= n
-        if ring_spans_grid or rounds >= max_rounds:
+        if ring_spans_grid:
             results.append(topk)
             break
         # a probe is done if it found k neighbors with kth dist <= covered
@@ -295,15 +302,32 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
             if _dbg:
                 print(f"[knn] brute-force sweep for {n_pending} stragglers")
             break
+        if rounds >= max_rounds:
+            # probes remain pending, the ring does NOT span the grid, and
+            # no brute-force sweep applies: their top-k would be
+            # incomplete — never return silently-wrong rows (unreachable
+            # with the default budget: ring x4 spans any grid in
+            # <= log4(2^res) + 1 rounds)
+            for df in cached:
+                df.unpersist()
+            raise RuntimeError(
+                f"knn_join exhausted max_rounds={max_rounds} with "
+                f"{n_pending} probes pending at ring {r} (< grid span "
+                f"{n}); raise max_rounds or initial_ring"
+            )
         r *= 4
     out = results[0]
     for extra in results[1:]:
         out = out.unionByName(extra)
-    # materialize the union, then free every per-round cache (the round
-    # topk/pending frames otherwise accumulate in executor storage for
-    # the session lifetime on multi-round workloads)
-    out = out.persist()
-    out.count()
+    # materialize the union via an eager localCheckpoint, then free every
+    # per-round cache (the round topk/pending frames otherwise accumulate
+    # in executor storage for the session lifetime on multi-round
+    # workloads). localCheckpoint rather than persist: it truncates
+    # lineage (so unpersisting the round caches can't trigger recompute)
+    # AND its RDD blocks are released by the ContextCleaner when the
+    # returned frame is garbage-collected — a plain DataFrame persist
+    # would pin storage until an explicit unpersist the caller never sees
+    out = out.localCheckpoint(eager=True)
     for df in cached:
         df.unpersist()
     return out

@@ -374,7 +374,18 @@ def _seg_rect_sat() -> str:
     ymax): bbox overlap AND the four rect corners not all strictly on
     one side of the segment's supporting line. Exact-arithmetic
     equivalent of the engine's segs-cross-or-vertex-in composite
-    (kernels._generic_area_intersect)."""
+    (kernels._generic_area_intersect).
+
+    NOTE on bit-agreement: this predicate is mathematically equivalent
+    to the kernel composite but evaluates DIFFERENT float expressions
+    (cross products of corner offsets vs segment-pair orientations), so
+    agreement on non-exact-binary coordinates is empirical, not by
+    construction. The testdata derivations keep operands well away from
+    degeneracy (offsets are 5-decimal values, segments are never
+    collinear with rect edges), which is why CORRECTNESS runs green; a
+    future key/data change that produces near-degenerate pairs could
+    flip one side. The quantized ANN oracles (k/1024 exact-binary
+    fractions) show the by-construction alternative."""
     def c(px, py):
         return f"((bx2 - ax) * (({py}) - ay) - (by2 - ay) * (({px}) - ax))"
 
@@ -525,7 +536,7 @@ cells AS (
          CAST(round(value * 100e0) AS BIGINT) AS cents
   FROM pts)
 SELECT tx, ty, epoch_hour, event_type,
-       count(*) AS n_events, sum(cents) AS sum_cents
+       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM cells GROUP BY 1, 2, 3, 4
 """.strip()
 

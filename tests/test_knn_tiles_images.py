@@ -63,6 +63,19 @@ def test_knn_mixed_kinds(spark):
     assert got == [(w[0], w[1], w[3]) for w in want]
 
 
+def test_knn_max_rounds_exhaustion_raises(spark):
+    """Exhausting max_rounds with probes still pending (and no broadcast
+    sweep available) must raise, not return incomplete top-k quietly."""
+    rng = random.Random(41)
+    small_rows = [(POINT, [rng.uniform(-5, 5), rng.uniform(-5, 5)]) for _ in range(40)]
+    big_rows = [(POINT, [rng.uniform(-5, 5), rng.uniform(-5, 5)]) for _ in range(8)]
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        knn_join(
+            spark, geoms_to_df(spark, small_rows), geoms_to_df(spark, big_rows),
+            k=10, resolution=6, broadcast=False, initial_ring=1, max_rounds=1,
+        ).collect()
+
+
 def test_knn_k_larger_than_small_side(spark):
     small_rows = [(POINT, [0.0, 0.0]), (POINT, [1.0, 0.0])]
     big_rows = [(POINT, [0.2, 0.0])]

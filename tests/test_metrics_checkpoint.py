@@ -79,6 +79,27 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
     idx.unpersist()
 
 
+def test_checkpoint_all_buckets_empty_read(spark, tmp_path):
+    """Empty buckets publish schema-bearing empty parquet, so read()
+    infers the schema even when EVERY bucket is empty."""
+    rng = random.Random(7)
+    small = geoms_to_df(spark, _rows(rng, 10))
+    idx = SpatialIndex.build(spark, small, validate=False)
+
+    def factory():
+        # join that matches nothing: probes far outside the extent
+        far = geoms_to_df(spark, [(POINT, [1e6 + i, 1e6]) for i in range(5)])
+        return idx.spatial_join(far, how="intersects", validate=False)
+
+    out = str(tmp_path / "ckpt_empty")
+    run = ResumableRun(out, n_buckets=4)
+    assert len(run.run(factory)) == 4
+    got = run.read(spark)
+    assert got.count() == 0
+    assert {"big_id", "small_id"} <= set(got.columns)
+    idx.unpersist()
+
+
 def test_checkpoint_single_upstream_pass(spark, tmp_path):
     """The upstream DataFrame must execute exactly ONCE per run() call
     (not once per bucket): counted with an accumulator inside a

@@ -92,7 +92,7 @@ def test_knn_hot_split_invariance(spark):
                           hot_threshold=30, big_kinds={POINT}).collect()
     )
     assert got == base
-    assert len({(b for b, *_ in got)}) >= 1 and len(got) == 3 * len(big_rows)
+    assert len({b for b, *_ in got}) == len(big_rows) and len(got) == 3 * len(big_rows)
 
 
 def test_cogroup_strategy_matches_pairs(spark):
