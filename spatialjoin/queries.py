@@ -159,6 +159,82 @@ def q_rects_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.spatial_join(big, how="intersects", validate=False, big_kinds={4})
 
 
+def _donuts_df(spark, sf_dir, table, key) -> DataFrame:
+    """Holed polygon: CCW rhombus with a concentric half-size rhombus
+    hole (rings = [0, 5]; both rings closed). The hole half-sizes are
+    a*0.5 / b*0.5 — exact in binary, so the oracle reproduces them
+    bit-identically from the same expressions."""
+    px, py = PX.format(k=key), PY.format(k=key)
+    a, b = QA.format(k=key), QB.format(k=key)
+    ah, bh = f"({a}) * 5e-1", f"({b}) * 5e-1"
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet").selectExpr(
+        f"{key} as id",
+        "3 as kind",
+        f"array(({px}) + ({a}), ({py}), ({px}), ({py}) + ({b}), "
+        f"({px}) - ({a}), ({py}), ({px}), ({py}) - ({b}), ({px}) + ({a}), ({py}), "
+        f"({px}) + ({ah}), ({py}), ({px}), ({py}) + ({bh}), "
+        f"({px}) - ({ah}), ({py}), ({px}), ({py}) - ({bh}), ({px}) + ({ah}), ({py})) as coords",
+        "array(0, 5) as rings",
+    )
+
+
+def q_donut_quads_contain_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-HOLED-polygon join: supplier donut rhombi CONTAIN
+    customer points. Exercises the full geo-0.14 hole rule
+    (kernels.point_in_poly_parts): strict exterior-ring interior AND
+    not inside-or-on ANY hole ring."""
+    donuts = _donuts_df(spark, sf_dir, "supplier", "s_suppkey")
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, donuts, validate=False)
+    return idx.spatial_join(pts, how="contains", validate=False, big_kinds={0})
+
+
+def q_rects_intersect_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME rect-rect join forced through the non-broadcast
+    cogroup+STRtree strategy — the production path when the indexed
+    side exceeds the broadcast budget (at 100 TB it always does). The
+    plan shuffles both sides on cell and refines per cell group inside
+    one FlatMapCoGroupsInPandas; shares q_rects_intersect's oracle."""
+    small = _rects_df(spark, sf_dir, "part", "p_partkey")
+    big = _rects_df(spark, sf_dir, "lineitem", "(l_orderkey * 10 + l_linenumber)",
+                    id_expr=LINEITEM_ID)
+    idx = SpatialIndex.build(spark, small, validate=False, broadcast=False)
+    return idx.spatial_join(big, how="intersects", validate=False,
+                            big_kinds={4}, strategy="cogroup")
+
+
+# skewed-cluster rect derivations: 80% of keys collapse into [0, 0.1]^2
+# (same hot cluster as SKX/SKY) with tiny half-sizes so the hot-split
+# result set stays bounded
+HRA = "2e-4 + ({k} % 97) / 97e0 * 18e-4"
+HRB = "2e-4 + ({k} % 89) / 89e0 * 18e-4"
+
+
+def _skewed_rects_df(spark, sf_dir, table, key, id_expr=None) -> DataFrame:
+    skx, sky = SKX.format(k=key), SKY.format(k=key)
+    ra, rb = HRA.format(k=key), HRB.format(k=key)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet").selectExpr(
+        f"{id_expr or key} as id",
+        "4 as kind",
+        f"array(({skx}) - ({ra}), ({sky}) - ({rb}), ({skx}) + ({ra}), ({sky}) + ({rb})) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def q_hot_rects_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rect join over a HOT-CLUSTERED corpus through the hot-split
+    index: 80% of both sides collapse into one [0, 0.1]^2 cluster that
+    lands in a single resolution-6 cell, far over hot_threshold — the
+    join probes cold cells at the base level and re-covers hot cells at
+    the fine level (the two-level union in the plan)."""
+    small = _skewed_rects_df(spark, sf_dir, "part", "p_partkey")
+    big = _skewed_rects_df(spark, sf_dir, "lineitem",
+                           "(l_orderkey * 10 + l_linenumber)", id_expr=LINEITEM_ID)
+    idx = SpatialIndex.build(spark, small, validate=False, resolution=6,
+                             hot_threshold=64, split_steps=2)
+    return idx.spatial_join(big, how="intersects", validate=False, big_kinds={4})
+
+
 # bimodal rect half-sizes: every 13th key is ~20x larger — the
 # mixed-scale corpus the multilevel (size-stratified) index exists for
 MRA = "CASE WHEN {k} % 13 = 0 THEN 15e-1 + ({k} % 7) / 7e0 * 15e-1 ELSE " + RA + " END"
@@ -397,6 +473,36 @@ def _seg_rect_sat() -> str:
         "  AND least(ay, by2) <= ymax AND greatest(ay, by2) >= ymin\n"
         f"  AND NOT ({all_pos})\n  AND NOT ({all_neg})"
     )
+
+
+def _oracle_donut_quads() -> str:
+    """Strict-interior test on the outer rhombus (4 CCW cross products
+    > 0) AND NOT inside-or-on the concentric half-size hole rhombus
+    (all 4 cross products >= 0 <=> in-or-on, convexity). Mirrors
+    kernels.point_in_poly_strict: inside_ext & ~on_ext_boundary &
+    ~in_or_on_any_hole. Hole half-sizes recompute the engine's exact
+    `(a) * 5e-1` doubles; same empirical-bit-agreement caveat as
+    _seg_rect_sat."""
+    px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    return f"""
+WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
+qd0 AS (SELECT s_suppkey, {px_s} AS cx, {py_s} AS cy, {a} AS a, {b} AS b FROM supplier),
+qds AS (SELECT s_suppkey, cx, cy, a, b, (a) * 5e-1 AS ah, (b) * 5e-1 AS bh FROM qd0)
+SELECT pts.c_custkey AS big_id, qds.s_suppkey AS small_id
+FROM pts, qds
+WHERE ((cx) - (cx + a)) * (py - cy) - ((cy + b) - cy) * (px - (cx + a)) > 0
+  AND ((cx - a) - cx) * (py - (cy + b)) - (cy - (cy + b)) * (px - cx) > 0
+  AND (cx - (cx - a)) * (py - cy) - ((cy - b) - cy) * (px - (cx - a)) > 0
+  AND ((cx + a) - cx) * (py - (cy - b)) - (cy - (cy - b)) * (px - cx) > 0
+  AND NOT (
+        ((cx) - (cx + ah)) * (py - cy) - ((cy + bh) - cy) * (px - (cx + ah)) >= 0
+    AND ((cx - ah) - cx) * (py - (cy + bh)) - (cy - (cy + bh)) * (px - cx) >= 0
+    AND (cx - (cx - ah)) * (py - cy) - ((cy - bh) - cy) * (px - (cx - ah)) >= 0
+    AND ((cx + ah) - cx) * (py - (cy - bh)) - (cy - (cy - bh)) * (px - cx) >= 0
+  )
+""".strip()
 
 
 def _oracle_paths_rects() -> str:
@@ -650,9 +756,38 @@ def oracle_sql() -> dict[str, str]:
     ts_sql, x0_sql, y0_sql = f"{ts:.17e}", f"{x0:.17e}", f"{y0:.17e}"
     ncell = (1 << TILE_ZOOM) - 1
 
+    rects_sql = f"""
+WITH a AS (SELECT p_partkey,
+               ({px_p}) - ({ra_p}) AS xmin, ({py_p}) - ({rb_p}) AS ymin,
+               ({px_p}) + ({ra_p}) AS xmax, ({py_p}) + ({rb_p}) AS ymax FROM part),
+b AS (SELECT {lk} AS lid,
+               ({px_l}) - ({ra_l}) AS xmin, ({py_l}) - ({rb_l}) AS ymin,
+               ({px_l}) + ({ra_l}) AS xmax, ({py_l}) + ({rb_l}) AS ymax FROM lineitem)
+SELECT b.lid AS big_id, a.p_partkey AS small_id
+FROM a JOIN b
+  ON a.xmin <= b.xmax AND a.xmax >= b.xmin AND a.ymin <= b.ymax AND a.ymax >= b.ymin
+""".strip()
+    skx_p, sky_p = SKX.format(k="p_partkey"), SKY.format(k="p_partkey")
+    hra_p, hrb_p = HRA.format(k="p_partkey"), HRB.format(k="p_partkey")
+    skx_l, sky_l = SKX.format(k=lk), SKY.format(k=lk)
+    hra_l, hrb_l = HRA.format(k=lk), HRB.format(k=lk)
+
     return {
         "pip_quad_contains": _oracle_pip_quads(small_within_big=False),
         "points_within_quads": _oracle_pip_quads(small_within_big=True),
+        "donut_quads_contain_points": _oracle_donut_quads(),
+        "rects_intersect_cogroup": rects_sql,
+        "hot_rects_intersect": f"""
+WITH a AS (SELECT p_partkey,
+               ({skx_p}) - ({hra_p}) AS xmin, ({sky_p}) - ({hrb_p}) AS ymin,
+               ({skx_p}) + ({hra_p}) AS xmax, ({sky_p}) + ({hrb_p}) AS ymax FROM part),
+b AS (SELECT {lk} AS lid,
+               ({skx_l}) - ({hra_l}) AS xmin, ({sky_l}) - ({hrb_l}) AS ymin,
+               ({skx_l}) + ({hra_l}) AS xmax, ({sky_l}) + ({hrb_l}) AS ymax FROM lineitem)
+SELECT b.lid AS big_id, a.p_partkey AS small_id
+FROM a JOIN b
+  ON a.xmin <= b.xmax AND a.xmax >= b.xmin AND a.ymin <= b.ymax AND a.ymax >= b.ymin
+""".strip(),
         "pip_rect_contains": f"""
 WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
 rcs AS (SELECT p_partkey,
@@ -673,17 +808,7 @@ SELECT b.lid AS big_id, a.p_partkey AS small_id
 FROM a JOIN b
   ON a.xmin <= b.xmax AND a.xmax >= b.xmin AND a.ymin <= b.ymax AND a.ymax >= b.ymin
 """.strip(),
-        "rects_intersect": f"""
-WITH a AS (SELECT p_partkey,
-               ({px_p}) - ({ra_p}) AS xmin, ({py_p}) - ({rb_p}) AS ymin,
-               ({px_p}) + ({ra_p}) AS xmax, ({py_p}) + ({rb_p}) AS ymax FROM part),
-b AS (SELECT {lk} AS lid,
-               ({px_l}) - ({ra_l}) AS xmin, ({py_l}) - ({rb_l}) AS ymin,
-               ({px_l}) + ({ra_l}) AS xmax, ({py_l}) + ({rb_l}) AS ymax FROM lineitem)
-SELECT b.lid AS big_id, a.p_partkey AS small_id
-FROM a JOIN b
-  ON a.xmin <= b.xmax AND a.xmax >= b.xmin AND a.ymin <= b.ymax AND a.ymax >= b.ymin
-""".strip(),
+        "rects_intersect": rects_sql,
         "prox_points": f"""
 WITH sup AS (SELECT s_suppkey, {px_s} AS px, {py_s} AS py FROM supplier),
 cst AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer)
@@ -828,6 +953,9 @@ QUERIES = {
     "points_within_quads": q_points_within_quads,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
+    "rects_intersect_cogroup": q_rects_intersect_cogroup,
+    "hot_rects_intersect": q_hot_rects_intersect,
+    "donut_quads_contain_points": q_donut_quads_contain_points,
     "mixed_rects_intersect": q_mixed_rects_intersect,
     "prox_points": q_prox_points,
     "paths_intersect_rects": q_paths_intersect_rects,

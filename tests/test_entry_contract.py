@@ -46,6 +46,31 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"big_id", "small_id"}
 
 
+def test_strategy_queries_engage_their_paths(spark):
+    """The cogroup query's plan must contain FlatMapCoGroupsInPandas,
+    the hot query's index must actually have hot cells, and the donut
+    table must really carry two rings — otherwise these oracle rows
+    would silently test the broadcast-pairs path again."""
+    from spatialjoin.index import SpatialIndex
+    from spatialjoin.queries import (
+        _donuts_df,
+        _skewed_rects_df,
+        q_rects_intersect_cogroup,
+    )
+
+    plan = q_rects_intersect_cogroup(spark, SF_DIR)._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+
+    small = _skewed_rects_df(spark, SF_DIR, "part", "p_partkey")
+    idx = SpatialIndex.build(spark, small, validate=False, resolution=6,
+                             hot_threshold=64, split_steps=2)
+    assert idx.hot_cells is not None and idx.hot_cells.count() >= 1
+    idx.unpersist()
+
+    d = _donuts_df(spark, SF_DIR, "supplier", "s_suppkey").first()
+    assert list(d.rings) == [0, 5] and len(d.coords) == 20
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
