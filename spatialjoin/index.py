@@ -563,7 +563,7 @@ class SpatialIndex:
         return b_cold.unionByName(b_fine)
 
     def _cogroup_refine(self, big_df: DataFrame, validate: bool, op: str,
-                        how: str | None = None) -> DataFrame:
+                        how: str | None = None, with_geos: bool = False) -> DataFrame:
         """Shuffle-side execution for non-broadcastable indexes: cogroup
         both sides by cell and, per cell group, bulk-load a packed
         STRtree over the small side's (buffered) bboxes, probe with the
@@ -571,7 +571,10 @@ class SpatialIndex:
         refine with the vectorized kernels — all inside one
         applyInPandas. Each input row crosses the Arrow boundary once
         per covering cell instead of once per CANDIDATE PAIR, which is
-        the difference that matters when cells are dense."""
+        the difference that matters when cells are dense. ``with_geos``
+        emits both geometries per RESULT row (like the reference's
+        with_geos iterators, src/index.rs:537-599) without the
+        per-candidate-pair explosion of the pairs path."""
         from .strtree import STRtree
 
         b = self._probe_cells(big_df, validate)
@@ -584,6 +587,11 @@ class SpatialIndex:
         ]
         if op == "prox":
             fields.append(T.StructField("distance", T.DoubleType(), False))
+        geo_cols_b = ["b_kind", "b_coords", "b_rings"]
+        geo_cols_s = ["s_kind", "s_coords", "s_rings"]
+        if with_geos:
+            fields += [b.schema[c] for c in geo_cols_b]
+            fields += [small.schema[c] for c in geo_cols_s]
         schema = T.StructType(fields)
         grid = self.grid
         max_d = self.max_distance
@@ -592,7 +600,9 @@ class SpatialIndex:
             import pandas as pd
 
             if len(bpdf) == 0 or len(spdf) == 0:
-                return pd.DataFrame({f.name: [] for f in schema.fields})
+                return pd.DataFrame(
+                    {f.name: pd.Series([], dtype=object) for f in schema.fields}
+                )  # object dtype: empty float64 can't convert to list<double>
             cell = int(key[0])
             res = cell >> 58
             ccx = (cell >> 29) & ((1 << 29) - 1)
@@ -610,7 +620,9 @@ class SpatialIndex:
                 bpdf["b_xmax"].to_numpy(), bpdf["b_ymax"].to_numpy(),
             )
             if len(qi) == 0:
-                return pd.DataFrame({f.name: [] for f in schema.fields})
+                return pd.DataFrame(
+                    {f.name: pd.Series([], dtype=object) for f in schema.fields}
+                )  # object dtype: empty float64 can't convert to list<double>
             # reference-point dedup at this cell's resolution
             rx = np.maximum(sx0[ti], bpdf["b_xmin"].to_numpy()[qi])
             ry = np.maximum(sy0[ti], bpdf["b_ymin"].to_numpy()[qi])
@@ -619,7 +631,9 @@ class SpatialIndex:
             keep = (rcx == ccx) & (rcy == ccy)
             qi, ti = qi[keep], ti[keep]
             if len(qi) == 0:
-                return pd.DataFrame({f.name: [] for f in schema.fields})
+                return pd.DataFrame(
+                    {f.name: pd.Series([], dtype=object) for f in schema.fields}
+                )  # object dtype: empty float64 can't convert to list<double>
             A = GeomBatch.from_columns(
                 spdf["s_kind"].to_numpy(), spdf["s_coords"].to_list(), spdf["s_rings"].to_list()
             )
@@ -632,16 +646,24 @@ class SpatialIndex:
                 d = kernels.distance(A, ti, B, qi)
                 assert np.isfinite(d).all(), "non-finite distance (index.rs:436)"
                 m = d <= max_d
-                return pd.DataFrame(
-                    {"big_id": big_ids[qi[m]], "small_id": small_ids[ti[m]], "distance": d[m]}
-                )
-            if how == "intersects":
+            elif how == "intersects":
                 m = kernels.intersects(A, ti, B, qi)
             elif how == "contains":
                 m = kernels.contains(A, ti, B, qi)
             else:
                 m = kernels.contains(B, qi, A, ti)
-            return pd.DataFrame({"big_id": big_ids[qi[m]], "small_id": small_ids[ti[m]]})
+            mq, mt = qi[m], ti[m]
+            out = pd.DataFrame({"big_id": big_ids[mq], "small_id": small_ids[mt]})
+            if op == "prox":
+                out["distance"] = d[m]
+            if with_geos:
+                # pandas .iloc slices (not raw object ndarrays) so the
+                # list<double> columns stay Arrow-convertible
+                for c in geo_cols_b:
+                    out[c] = bpdf[c].iloc[mq].reset_index(drop=True)
+                for c in geo_cols_s:
+                    out[c] = spdf[c].iloc[mt].reset_index(drop=True)
+            return out
 
         return b.groupby("cell").cogroup(small.groupby("cell")).applyInPandas(fn, schema)
 
@@ -775,8 +797,8 @@ class SpatialIndex:
         if strategy not in ("auto", "pairs", "cogroup"):
             raise ValueError("strategy must be auto|pairs|cogroup")
         if strategy == "cogroup" or (strategy == "auto" and not self.broadcast_small):
-            if not with_geos:
-                return self._cogroup_refine(big_df, validate, "join", how=how)
+            return self._cogroup_refine(big_df, validate, "join", how=how,
+                                        with_geos=with_geos)
         cand = self._candidates(big_df, validate)
         # the fast paths reason over stored bboxes, which are buffered by
         # max_distance at build — only exact when the buffer is zero
@@ -867,8 +889,8 @@ class SpatialIndex:
                 .select("big_id", "small_id", "distance")
             )
         if strategy == "cogroup" or (strategy == "auto" and not self.broadcast_small):
-            if not with_geos:
-                return self._cogroup_refine(big_df, validate, "prox")
+            return self._cogroup_refine(big_df, validate, "prox",
+                                        with_geos=with_geos)
         cand = self._candidates(big_df, validate)
         fields = [
             T.StructField("big_id", T.LongType(), False),

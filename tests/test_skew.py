@@ -120,3 +120,40 @@ def test_cogroup_strategy_matches_pairs(spark):
                idxp.proximity_map(big, validate=False, strategy="cogroup").collect())
     idxp.unpersist()
     assert a == b
+
+
+def test_cogroup_with_geos_matches_pairs(spark):
+    """with_geos through the cogroup strategy: same rows AND same
+    geometry payloads as the pairs path (no pair-explosion fallback)."""
+    rng = random.Random(92)
+    small = geoms_to_df(spark, _skewed_rows(rng, 120))
+    big = geoms_to_df(spark, _skewed_rows(rng, 120))
+
+    def key(r):
+        return (r.big_id, r.small_id, r.b_kind, tuple(r.b_coords),
+                tuple(r.b_rings or []), r.s_kind, tuple(r.s_coords),
+                tuple(r.s_rings or []))
+
+    idx = SpatialIndex.build(spark, small, validate=False)
+    a = sorted(key(r) for r in idx.spatial_join(
+        big, how="intersects", with_geos=True, validate=False, strategy="pairs").collect())
+    b = sorted(key(r) for r in idx.spatial_join(
+        big, how="intersects", with_geos=True, validate=False, strategy="cogroup").collect())
+    assert a == b and len(a) > 0
+    idx.unpersist()
+
+    idxp = SpatialIndex.build(spark, small, max_distance=0.4, validate=False)
+    pa = sorted((key(r), r.distance) for r in idxp.proximity_map(
+        big, with_geos=True, validate=False, strategy="pairs").collect())
+    pb = sorted((key(r), r.distance) for r in idxp.proximity_map(
+        big, with_geos=True, validate=False, strategy="cogroup").collect())
+    assert pa == pb and len(pa) > 0
+    idxp.unpersist()
+
+    # a NON-broadcast index must route with_geos through cogroup now
+    idxn = SpatialIndex.build(spark, small, validate=False, broadcast=False)
+    plan = idxn.spatial_join(
+        big, how="intersects", with_geos=True, validate=False
+    )._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    idxn.unpersist()
