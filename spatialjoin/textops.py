@@ -285,7 +285,22 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-key cardinality 2^16 per band (vs 2^8 in round 1), so the
     candidate self-join stays near-linear at corpus scale, and every
     pair at Hamming <= SIMHASH_HAMMING shares at least one band
-    (pigeonhole: 4 bands, <= 3 differing bits)."""
+    (pigeonhole: 4 bands, <= 3 differing bits).
+
+    SCALE BOUND: each band's key space is 2^16 = 65,536, so with N
+    docs the expected bucket size is N/65,536 and the self-join emits
+    ~N^2/65,536 candidate pairs per band (for uniformly-spread
+    fingerprints). That is near-linear up to N ~ 10^8 docs per band
+    (~150 k pair-candidates per bucket-key worst case at uniform
+    load); beyond that — trillion-doc corpora — the standard fix is
+    the Manku/Jain/Sarma rotation-table construction (WWW'07 §3): for
+    each of a handful of bit-rotations of the fingerprint, sort by the
+    top ~p bits (p sized so 2^p >> N/2^16) and scan a window of
+    neighbors, turning the band self-join into a sort + bounded
+    window-scan with no quadratic bucket. The banded join here IS the
+    Spark-friendly equivalent for N <= ~10^8, which covers the 100 TB
+    design point (~10^8 x 1 MB docs); the rotation tables are the
+    documented next step, not implemented."""
     docs = _docs(spark, sf_dir)
     simdf = _simhash_bits_spark(docs).persist()
     bands = None
