@@ -231,6 +231,15 @@ def main() -> None:
         "Engine efficiency normalized to the machine ceiling:"
         f" **{eff / (ceiling / (n4 // n)):.3f}**.",
         "",
+        "Raw efficiency is bounded ABOVE by this ceiling: when the pure-CPU",
+        "burn itself only reaches it, no plan can scale past it on this VM",
+        "(the ceiling also swims between sessions with noisy neighbors —",
+        "0.86 one session, 0.77 another). `BENCH/BANDWIDTH.md` decomposes",
+        "the residual: a join-free columnar scan over the same cached probe",
+        "scales WORSE than the engine's full join, so the join/plan adds no",
+        "scaling loss of its own — the gap is the shared socket, which a",
+        "real 4N-executor cluster does not share.",
+        "",
         "## Per-query wall seconds",
         "",
         f"| query | {n} cores | {n4} cores | speedup | efficiency | output rows |",

@@ -63,12 +63,26 @@ def _prefixed(df: DataFrame, prefix: str, id_out: str) -> DataFrame:
     )
 
 
-def with_bbox(df: DataFrame, prefix: str, buffer: float = 0.0) -> DataFrame:
+def with_bbox(df: DataFrame, prefix: str, buffer: float = 0.0,
+              points: bool = False) -> DataFrame:
     """JVM-side bbox (+optional cheap_buffer expansion) from the flat
-    coords array. Stays inside whole-stage codegen."""
+    coords array. Stays inside whole-stage codegen. ``points=True``
+    (caller KNOWS every row is a point) reads the two scalars directly
+    instead of building two filtered array copies per row — same
+    doubles (min of a singleton), ~half the per-row allocation on the
+    hot probe scan."""
+    b = F.lit(float(buffer))
+    if points:
+        x = F.element_at(f"{prefix}_coords", 1)
+        y = F.element_at(f"{prefix}_coords", 2)
+        return (
+            df.withColumn(f"{prefix}_xmin", x - b)
+            .withColumn(f"{prefix}_xmax", x + b)
+            .withColumn(f"{prefix}_ymin", y - b)
+            .withColumn(f"{prefix}_ymax", y + b)
+        )
     xs = F.filter(f"{prefix}_coords", lambda _, i: i % 2 == 0)
     ys = F.filter(f"{prefix}_coords", lambda _, i: i % 2 == 1)
-    b = F.lit(float(buffer))
     return (
         df.withColumn(f"{prefix}_xmin", F.array_min(xs) - b)
         .withColumn(f"{prefix}_xmax", F.array_max(xs) + b)
@@ -667,12 +681,13 @@ class SpatialIndex:
 
         return b.groupby("cell").cogroup(small.groupby("cell")).applyInPandas(fn, schema)
 
-    def _candidates(self, big_df: DataFrame, validate: bool) -> DataFrame:
+    def _candidates(self, big_df: DataFrame, validate: bool,
+                    point_probe: bool = False) -> DataFrame:
         if validate:
             validate_geoms(big_df)
         b = _prefixed(big_df, "b", "big_id")
         b = ensure_parallelism(b)
-        b = with_bbox(b, "b", buffer=0.0)
+        b = with_bbox(b, "b", buffer=0.0, points=point_probe)
 
         def bcast(df):
             return F.broadcast(df) if self.broadcast_small else df
@@ -799,7 +814,12 @@ class SpatialIndex:
         if strategy == "cogroup" or (strategy == "auto" and not self.broadcast_small):
             return self._cogroup_refine(big_df, validate, "join", how=how,
                                         with_geos=with_geos)
-        cand = self._candidates(big_df, validate)
+        from .geom import POINT as _KP
+
+        cand = self._candidates(
+            big_df, validate,
+            point_probe=big_kinds is not None and set(big_kinds) == {_KP},
+        )
         # the fast paths reason over stored bboxes, which are buffered by
         # max_distance at build — only exact when the buffer is zero
         sqlpred = None
@@ -878,7 +898,7 @@ class SpatialIndex:
             # b_xmin == bx exactly) — the coords arrays get pruned from
             # both scans, halving the bytes this bandwidth-bound path
             # pushes through the join
-            cand = self._candidates(big_df, validate)
+            cand = self._candidates(big_df, validate, point_probe=True)
             dist = F.expr(
                 "sqrt((s_px - b_xmin) * (s_px - b_xmin) + "
                 "(s_py - b_ymin) * (s_py - b_ymin))"
@@ -891,7 +911,10 @@ class SpatialIndex:
         if strategy == "cogroup" or (strategy == "auto" and not self.broadcast_small):
             return self._cogroup_refine(big_df, validate, "prox",
                                         with_geos=with_geos)
-        cand = self._candidates(big_df, validate)
+        cand = self._candidates(
+            big_df, validate,
+            point_probe=big_kinds is not None and set(big_kinds) == {KP},
+        )
         fields = [
             T.StructField("big_id", T.LongType(), False),
             T.StructField("small_id", T.LongType(), False),

@@ -124,7 +124,7 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
     from .index import ensure_parallelism
 
     b = ensure_parallelism(b)
-    b = with_bbox(b, "b", buffer=0.0)
+    b = with_bbox(b, "b", buffer=0.0, points=point_probe)
     b_base = b.persist()
 
     small = idx.small_cells
