@@ -192,6 +192,64 @@ def q_donut_quads_contain_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.spatial_join(pts, how="contains", validate=False, big_kinds={0})
 
 
+# integer-lattice derivations for the WKT roundtrip query: every
+# coordinate is a small integer, so float arithmetic is EXACT in both
+# engines and WKT text construction/parsing is trivially lossless
+WCX = "((({k} * 2654435761) % 2001) - 1000)"
+WCY = "((({k} * 40503) % 2001) - 1000)"
+WQA = "(50 + ({k} % 151))"
+WQB = "(50 + ({k} % 173))"
+
+
+def q_wkt_quads_contain_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT SOURCE end-to-end: supplier rhombi are serialized to WKT
+    POLYGON text (pure-JVM concat), parsed back with from_wkt (pure-JVM
+    regexp/split/transform), indexed, and joined against customer
+    points — coordinates are integers so the whole path is exact and
+    the DuckDB oracle computes containment directly from the keys."""
+    from .wkt import from_wkt
+
+    k = "s_suppkey"
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        f"{k} AS id",
+        f"{WCX.format(k=k)} AS cx", f"{WCY.format(k=k)} AS cy",
+        f"{WQA.format(k=k)} AS a", f"{WQB.format(k=k)} AS b",
+    ).selectExpr(
+        "id",
+        "concat('POLYGON ((', "
+        "CAST(cx + a AS STRING), ' ', CAST(cy AS STRING), ', ', "
+        "CAST(cx AS STRING), ' ', CAST(cy + b AS STRING), ', ', "
+        "CAST(cx - a AS STRING), ' ', CAST(cy AS STRING), ', ', "
+        "CAST(cx AS STRING), ' ', CAST(cy - b AS STRING), ', ', "
+        "CAST(cx + a AS STRING), ' ', CAST(cy AS STRING), '))') AS wkt",
+    )
+    quads = from_wkt(sup).select("id", "kind", "coords", "rings")
+    kc = "c_custkey"
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        f"{kc} AS id", "0 AS kind",
+        f"array(CAST({WCX.format(k=kc)} AS DOUBLE), CAST({WCY.format(k=kc)} AS DOUBLE)) AS coords",
+        "CAST(NULL AS array<int>) AS rings",
+    )
+    idx = SpatialIndex.build(spark, quads, validate=False)
+    return idx.spatial_join(pts, how="contains", validate=False, big_kinds={0})
+
+
+def _oracle_wkt_quads() -> str:
+    """Direct integer-lattice containment twin of the WKT roundtrip
+    query (strict CCW cross products; all arithmetic integer-exact)."""
+    return f"""
+WITH pts AS (SELECT c_custkey, {WCX.format(k="c_custkey")} AS px, {WCY.format(k="c_custkey")} AS py FROM customer),
+qds AS (SELECT s_suppkey, {WCX.format(k="s_suppkey")} AS cx, {WCY.format(k="s_suppkey")} AS cy,
+               {WQA.format(k="s_suppkey")} AS a, {WQB.format(k="s_suppkey")} AS b FROM supplier)
+SELECT pts.c_custkey AS big_id, qds.s_suppkey AS small_id
+FROM pts, qds
+WHERE ((cx) - (cx + a)) * (py - cy) - ((cy + b) - cy) * (px - (cx + a)) > 0
+  AND ((cx - a) - cx) * (py - (cy + b)) - (cy - (cy + b)) * (px - cx) > 0
+  AND (cx - (cx - a)) * (py - cy) - ((cy - b) - cy) * (px - (cx - a)) > 0
+  AND ((cx + a) - cx) * (py - (cy - b)) - (cy - (cy - b)) * (px - cx) > 0
+""".strip()
+
+
 def q_rects_intersect_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME rect-rect join forced through the non-broadcast
     cogroup+STRtree strategy — the production path when the indexed
@@ -779,6 +837,7 @@ FROM a JOIN b
         "pip_quad_contains": _oracle_pip_quads(small_within_big=False),
         "points_within_quads": _oracle_pip_quads(small_within_big=True),
         "donut_quads_contain_points": _oracle_donut_quads(),
+        "wkt_quads_contain_points": _oracle_wkt_quads(),
         "rects_intersect_cogroup": rects_sql,
         "hot_rects_intersect": f"""
 WITH a AS (SELECT p_partkey,
@@ -962,6 +1021,7 @@ QUERIES = {
     "rects_intersect_cogroup": q_rects_intersect_cogroup,
     "hot_rects_intersect": q_hot_rects_intersect,
     "donut_quads_contain_points": q_donut_quads_contain_points,
+    "wkt_quads_contain_points": q_wkt_quads_contain_points,
     "mixed_rects_intersect": q_mixed_rects_intersect,
     "prox_points": q_prox_points,
     "paths_intersect_rects": q_paths_intersect_rects,

@@ -1,0 +1,83 @@
+"""WKT source/sink: pure-JVM parse + format roundtrips."""
+
+from __future__ import annotations
+
+import pytest
+
+from spatialjoin.sparkutil import geoms_to_df
+from spatialjoin.wkt import from_wkt, to_wkt
+
+CASES = [
+    ("POINT (1 2)", 0, [1.0, 2.0], None),
+    ("LINESTRING (0 0, 3 4)", 1, [0.0, 0.0, 3.0, 4.0], None),
+    ("LINESTRING (0 0, 1 1, 2 0)", 2, [0.0, 0.0, 1.0, 1.0, 2.0, 0.0], None),
+    ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", 3,
+     [0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0, 0.0, 0.0], [0]),
+    # hole + offsets
+    ("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))", 3,
+     [0.0, 0.0, 8.0, 0.0, 8.0, 8.0, 0.0, 8.0, 0.0, 0.0,
+      2.0, 2.0, 3.0, 2.0, 3.0, 3.0, 2.0, 3.0, 2.0, 2.0], [0, 5]),
+    # open ring auto-closed, lowercase, odd whitespace
+    ("  polygon ( ( 0 0 , 2 0 , 1 2 ) )", 3,
+     [0.0, 0.0, 2.0, 0.0, 1.0, 2.0, 0.0, 0.0], [0]),
+    # scientific notation + negatives
+    ("POINT (-1.5e2 2.25)", 0, [-150.0, 2.25], None),
+]
+
+
+def test_from_wkt_all_kinds(spark):
+    df = spark.createDataFrame(
+        [(i, w) for i, (w, *_) in enumerate(CASES)], "id long, wkt string"
+    )
+    got = {r.id: (r.kind, list(r.coords), list(r.rings) if r.rings is not None else None)
+           for r in from_wkt(df).collect()}
+    for i, (_, kind, coords, rings) in enumerate(CASES):
+        assert got[i] == (kind, coords, rings), (i, got[i])
+
+
+def test_wkt_roundtrip_identity(spark):
+    df = spark.createDataFrame(
+        [(i, w) for i, (w, *_) in enumerate(CASES)], "id long, wkt string"
+    )
+    parsed = from_wkt(df).select("id", "kind", "coords", "rings")
+    rt = from_wkt(to_wkt(parsed).select("id", "wkt")).select(
+        "id", "kind", "coords", "rings"
+    )
+    a = {r.id: (r.kind, list(r.coords), list(r.rings or [])) for r in parsed.collect()}
+    b = {r.id: (r.kind, list(r.coords), list(r.rings or [])) for r in rt.collect()}
+    assert a == b
+
+
+def test_to_wkt_rect_triangle_as_polygon(spark):
+    g = geoms_to_df(spark, [(4, [0.0, 0.0, 2.0, 3.0]),
+                            (5, [0.0, 0.0, 2.0, 0.0, 1.0, 2.0])])
+    got = {r.id: r.wkt for r in to_wkt(g).collect()}
+    assert got[0] == "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 3.0, 0.0 3.0, 0.0 0.0))"
+    assert got[1] == "POLYGON ((0.0 0.0, 2.0 0.0, 1.0 2.0, 0.0 0.0))"
+    # and the polygon forms parse back to the same shapes' vertices
+    back = {r.id: list(r.coords) for r in
+            from_wkt(to_wkt(g).select("id", "wkt")).collect()}
+    assert back[0] == [0.0, 0.0, 2.0, 0.0, 2.0, 3.0, 0.0, 3.0, 0.0, 0.0]
+    assert back[1] == [0.0, 0.0, 2.0, 0.0, 1.0, 2.0, 0.0, 0.0]
+
+
+def test_permissive_nulls_bad_rows(spark):
+    bad = spark.createDataFrame(
+        [(0, "GARBAGE (1 2)"), (1, "POINT (x y)"), (2, "POINT (3 4)")],
+        "id long, wkt string",
+    )
+    got = {r.id: r.kind for r in from_wkt(bad, permissive=True).collect()}
+    assert got == {0: None, 1: None, 2: 0}
+
+
+def test_strict_raises_on_bad_type(spark):
+    bad = spark.createDataFrame([(0, "GARBAGE (1 2)")], "id long, wkt string")
+    with pytest.raises(Exception, match="unsupported WKT type"):
+        from_wkt(bad).collect()
+
+
+def test_plan_has_no_python_operator(spark):
+    df = spark.createDataFrame([(0, "POINT (1 2)")], "id long, wkt string")
+    plan = from_wkt(df)._jdf.queryExecution().toString()
+    for op in ("MapInPandas", "MapInArrow", "FlatMapCoGroupsInPandas", "BatchEvalPython"):
+        assert op not in plan
