@@ -198,7 +198,19 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
     def bcast(df):
         return F.broadcast(df) if idx.broadcast_small else df
 
-    refine_cols = _refine_input_cols(bc, [], point_probe=point_probe)
+    # point-vs-point: the ring-candidate distances stay entirely in the
+    # JVM (same float ops as the numpy kernel: sqrt(dx*dx + dy*dy) on
+    # the unbuffered scalar columns) — no Arrow boundary in the loop at
+    # all; only the bounded straggler sweep touches Python
+    all_points = point_probe and idx._small_kinds() == {KP}
+    if all_points:
+        refine_cols = [
+            "big_id", "small_id",
+            F.col("b_xmin").alias("bx"), F.col("b_ymin").alias("by"),
+            "s_px", "s_py",
+        ]
+    else:
+        refine_cols = _refine_input_cols(bc, [], point_probe=point_probe)
 
     import os as _os
     import time as _time
@@ -245,9 +257,14 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
         # dedup shuffle: each side covers exactly ONE cell, ring cells
         # are distinct per probe, and a small point lives in either the
         # cold or the fine level — every pair arises exactly once.
-        if not (point_probe and idx._small_kinds() == {KP}):
+        if not all_points:
             cand = cand.dropDuplicates(["big_id", "small_id"])
-        if point_probe and bc is not None:
+        if all_points:
+            dists = cand.selectExpr(
+                "big_id", "small_id",
+                "sqrt((s_px - bx) * (s_px - bx) + (s_py - by) * (s_py - by)) AS distance",
+            )
+        elif point_probe and bc is not None:
             from .index import _arrow_point_refine
 
             dists = cand.mapInArrow(
