@@ -21,12 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from spatialjoin import queries as Q  # noqa: E402
 from spatialjoin.sparkutil import get_spark  # noqa: E402
 
-# headline suite: PIP (quad + rect), big rect-rect join, proximity,
-# kNN, tile-assign — the north rule's operator set
+# headline suite: PIP (quad + rect), big rect-rect join (broadcast AND
+# the non-broadcast cogroup production path), proximity, kNN,
+# tile-assign — the north rule's operator set.
+# NOTE: rects_intersect_cogroup joined the suite in round 3, so
+# suite_wall is not comparable to rounds 1-2; per-query times are.
 BENCH_QUERIES = [
     "pip_quad_contains",
     "pip_rect_contains",
     "rects_intersect",
+    "rects_intersect_cogroup",
     "prox_points",
     "knn_points",
     "tile_assign",
