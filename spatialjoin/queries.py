@@ -952,6 +952,7 @@ ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
         "tris_intersect_rects": _oracle_tris_rects(),
         "join_with_geos": _oracle_join_with_geos(),
         "events_tile_rollup": _oracle_events_rollup(),
+        "events_stream_rollup": _oracle_events_stream(),
         "lines_prox_points": _oracle_lines_prox(),
         "prox_with_geos": _oracle_prox_with_geos(),
         "unmatched_customers": f"""
@@ -965,6 +966,82 @@ WHERE NOT EXISTS (
 """.strip(),
         **TEXT_ORACLES,
     }
+
+
+_STREAM_SEQ = [0]
+
+
+def q_events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING driver row: the events table is replayed
+    through a real file-stream source (trigger=availableNow) into a
+    stateful windowed per-tile aggregation, landed in a memory sink in
+    complete mode so every window is emitted in a finite run. The
+    result is a pure function of the input rows, so the DuckDB batch
+    twin matches exactly — stream = batch, the invariant the streaming
+    module's pytest already pins at unit level."""
+    px, py = PX.format(k="event_id"), PY.format(k="event_id")
+    ts_w = (TILE_EXTENT[2] - TILE_EXTENT[0]) / (1 << TILE_ZOOM)
+    x0, y0 = TILE_EXTENT[0], TILE_EXTENT[1]
+    ncell = (1 << TILE_ZOOM) - 1
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file-stream source wants a DIRECTORY; stage a symlink dir
+    # (testdata is read-only — nothing is copied)
+    import os
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    ev = stream.selectExpr(
+        "ts", "event_type",
+        f"CAST(round(value * 100e0) AS BIGINT) AS cents",
+        f"greatest(0, least({ncell}, CAST(floor((({px}) - ({x0:.17e})) / {ts_w:.17e}) AS BIGINT))) AS tx",
+        f"greatest(0, least({ncell}, CAST(floor((({py}) - ({y0:.17e})) / {ts_w:.17e}) AS BIGINT))) AS ty",
+    )
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("win"), "tx", "ty", "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"events_stream_rollup_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # the memory sink holds the aggregated rows on the driver; the
+    # staged source dir is no longer needed
+    import shutil
+
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.table(name).selectExpr(
+        "CAST(unix_timestamp(win.start) AS BIGINT) AS win_start",
+        "tx", "ty", "event_type", "n_events", "sum_cents",
+    )
+
+
+def _oracle_events_stream() -> str:
+    px, py = PX.format(k="event_id"), PY.format(k="event_id")
+    ts_w = (TILE_EXTENT[2] - TILE_EXTENT[0]) / (1 << TILE_ZOOM)
+    x0, y0 = TILE_EXTENT[0], TILE_EXTENT[1]
+    ncell = (1 << TILE_ZOOM) - 1
+    return f"""
+WITH cells AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+         greatest(0, least({ncell}, CAST(floor((({px}) - ({x0:.17e})) / {ts_w:.17e}) AS BIGINT))) AS tx,
+         greatest(0, least({ncell}, CAST(floor((({py}) - ({y0:.17e})) / {ts_w:.17e}) AS BIGINT))) AS ty,
+         event_type,
+         CAST(round(value * 100e0) AS BIGINT) AS cents
+  FROM events)
+SELECT win_start, tx, ty, event_type,
+       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM cells GROUP BY 1, 2, 3, 4
+""".strip()
 
 
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1030,6 +1107,7 @@ QUERIES = {
     "tris_intersect_rects": q_tris_intersect_rects,
     "join_with_geos": q_join_with_geos,
     "events_tile_rollup": q_events_tile_rollup,
+    "events_stream_rollup": q_events_stream_rollup,
     "lines_prox_points": q_lines_prox_points,
     "prox_with_geos": q_prox_with_geos,
     "knn_points": q_knn_points,
