@@ -47,6 +47,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REP_PIP = 256    # python-kernel refine path (Arrow boundary included)
 REP_RECTS = 64   # pure-JVM whole-stage-codegen fast path
 REP_PROX = 1024  # pure-JVM distance fast path
+REP_CG = 16      # non-broadcast shuffle paths (JVM shuffle join / cogroup)
+REP_CGPIP = 64   # non-broadcast PIP through cogroup (geometry refine needed)
 
 
 def _burn(_):
@@ -112,11 +114,18 @@ def worker(cpus: int) -> None:
     pip_probe = mat(rep(cust, REP_PIP))
     rect_probe = mat(rep(li, REP_RECTS))
     prox_probe = mat(rep(cust, REP_PROX))
+    cg_probe = mat(rep(li, REP_CG))
+    cgpip_probe = mat(rep(cust, REP_CGPIP))
 
     idx_quads = SpatialIndex.build(spark, quads, validate=False)
     idx_parts = SpatialIndex.build(spark, parts, validate=False)
     idx_sup = SpatialIndex.build(spark, sup, max_distance=2.0, validate=False)
+    idx_cg = SpatialIndex.build(spark, parts, validate=False, broadcast=False)
+    idx_cgq = SpatialIndex.build(spark, quads, validate=False, broadcast=False)
 
+    # headline suite = the three fixed-composition queries rounds are
+    # compared on; the shuffle_/cogroup_ rows are the NON-BROADCAST
+    # production paths, reported as their own rows AND in an all-N figure
     jobs = [
         ("pip_quad_x%d" % REP_PIP,
          lambda: idx_quads.spatial_join(pip_probe, how="contains", validate=False,
@@ -126,6 +135,16 @@ def worker(cpus: int) -> None:
                                         validate=False, big_kinds={4})),
         ("prox_points_x%d" % REP_PROX,
          lambda: idx_sup.proximity_map(prox_probe, validate=False, big_kinds={0})),
+        # auto strategy on a non-broadcast rect index = pure-JVM shuffle
+        # equi-join + SQL refine (no Python operator)
+        ("shuffle_rects_x%d" % REP_CG,
+         lambda: idx_cg.spatial_join(cg_probe, how="intersects",
+                                     validate=False, big_kinds={4})),
+        # polygons need the kernels: the genuine cogroup workload
+        ("cogroup_pip_x%d" % REP_CGPIP,
+         lambda: idx_cgq.spatial_join(cgpip_probe, how="contains",
+                                      validate=False, big_kinds={0},
+                                      strategy="cogroup")),
     ]
     # warmup pass (JIT + python workers), untimed
     for _, fn in jobs:
@@ -179,12 +198,18 @@ def main() -> None:
     assert r_n["rows"] == r_n4["rows"], "results must be identical across levels"
     best_n = {q: min(r["queries"][q] for r in runs_n) for q in r_n["queries"]}
     best_n4 = {q: min(r["queries"][q] for r in runs_n4) for q in r_n4["queries"]}
-    t_n = sum(best_n.values())
-    t_n4 = sum(best_n4.values())
+    # headline = the fixed 3-query composition rounds are compared on;
+    # the non-broadcast shuffle rows are reported separately + all-N
+    headline = [q for q in best_n
+                if not q.startswith(("cogroup", "shuffle"))]
+    t_n = sum(best_n[q] for q in headline)
+    t_n4 = sum(best_n4[q] for q in headline)
     eff = (t_n / t_n4) / (n4 / n)
-    total_rows = sum(r_n["rows"].values())
+    eff_all = (sum(best_n.values()) / sum(best_n4.values())) / (n4 / n)
+    total_rows = sum(r_n["rows"][q] for q in headline)
     result = {
         "metric": "scaling_efficiency", "value": round(eff, 4), "unit": "ratio",
+        "value_with_cogroup": round(eff_all, 4),
         "cores_small": n, "cores_large": n4,
         "wall_small_sec": round(t_n, 2), "wall_large_sec": round(t_n4, 2),
         "rows_per_sec_small": round(total_rows / t_n, 1),
@@ -224,6 +249,8 @@ def main() -> None:
         f"**Scaling efficiency** = (T_{n} / T_{n4}) / {n4 // n} = "
         f"({t_n:.2f} / {t_n4:.2f}) / {n4 // n} = **{eff:.3f}**",
         "",
+        f"Including the non-broadcast shuffle rows (all-query figure): **{eff_all:.3f}**.",
+        "",
         f"**Machine parallel ceiling** (pure-CPU burn, {n4} vs {n} pinned procs):",
         f"**{ceiling / (n4 // n):.3f}** — this VM delivers {ceiling:.2f}x (not 4x) the",
         f"aggregate compute at {n4} cores, and both levels share ONE memory",
@@ -262,6 +289,14 @@ def main() -> None:
         "  whole-stage-codegen'd in the JVM (SQL fast path; zero Python).",
         f"- `prox_points_x{REP_PROX}`: inclusive epsilon-distance join with exact",
         "  distances — pure-JVM point-distance fast path.",
+        f"- `shuffle_rects_x{REP_CG}`: NON-BROADCAST rect join, auto strategy —",
+        "  pure-JVM shuffle equi-join on cell + SQL refine (no Python operator;",
+        "  the round-3 planner change routes rect/point workloads here).",
+        f"- `cogroup_pip_x{REP_CGPIP}`: NON-BROADCAST point-in-polygon — both sides",
+        "  shuffle on cell, per-cell STRtree + vectorized kernel refine inside",
+        "  one FlatMapCoGroupsInPandas (the genuine cogroup workload; reported",
+        "  separately from the fixed 3-query headline so round-over-round",
+        "  comparisons stay like-for-like).",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("\n".join(md) + "\n")

