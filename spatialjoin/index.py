@@ -588,13 +588,36 @@ class SpatialIndex:
         the difference that matters when cells are dense. ``with_geos``
         emits both geometries per RESULT row (like the reference's
         with_geos iterators, src/index.rs:537-599) without the
-        per-candidate-pair explosion of the pairs path."""
+        per-candidate-pair explosion of the pairs path.
+
+        PARALLELISM = number of (salted) groups, NOT number of rows: a
+        coarse grid (e.g. resolution 2 -> <= 16 populated cells) would
+        cap the whole stage at 16 tasks and make 4N cores SLOWER than N
+        (measured). When populated cells < ~4x the cluster's cores, the
+        probe side is SALTED into (cell, salt) subgroups (small rows
+        replicated per salt) so every core gets work; each big row still
+        meets each same-cell small row exactly once, so results are
+        unchanged."""
         from .strtree import STRtree
 
         b = self._probe_cells(big_df, validate)
         small = self.small_cells
         if self.small_fine is not None:
             small = small.unionByName(self.small_fine)
+        spark = small.sparkSession
+        n_groups = self._n_cells()
+        par = spark.sparkContext.defaultParallelism
+        salt = int(min(64, max(1, -(-4 * par // max(n_groups, 1)))))
+        if salt > 1:
+            b = b.withColumn(
+                "__salt", F.pmod(F.xxhash64("big_id"), F.lit(salt)).cast("int")
+            )
+            small = small.withColumn(
+                "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            )
+            group_keys = ["cell", "__salt"]
+        else:
+            group_keys = ["cell"]
         fields = [
             T.StructField("big_id", T.LongType(), False),
             T.StructField("small_id", T.LongType(), False),
@@ -679,7 +702,11 @@ class SpatialIndex:
                     out[c] = spdf[c].iloc[mt].reset_index(drop=True)
             return out
 
-        return b.groupby("cell").cogroup(small.groupby("cell")).applyInPandas(fn, schema)
+        return (
+            b.groupby(*group_keys)
+            .cogroup(small.groupby(*group_keys))
+            .applyInPandas(fn, schema)
+        )
 
     def _candidates(self, big_df: DataFrame, validate: bool,
                     point_probe: bool = False) -> DataFrame:
@@ -715,6 +742,16 @@ class SpatialIndex:
         cand_fine = b_fine.join(bcast(self.small_fine), on="cell", how="inner")
         cand_fine = self._ref_filter(cand_fine, self.fine_resolution)
         return cand_cold.unionByName(cand_fine)
+
+    def _n_cells(self) -> int:
+        """Cached count of populated index cells — the cogroup
+        strategy's maximum parallelism before salting."""
+        if not hasattr(self, "_n_cells_cache"):
+            cells = self.small_cells.select("cell")
+            if self.small_fine is not None:
+                cells = cells.unionByName(self.small_fine.select("cell"))
+            self._n_cells_cache = int(cells.distinct().count())
+        return self._n_cells_cache
 
     def _small_kinds(self) -> set[int]:
         if not hasattr(self, "_small_kinds_cache"):

@@ -159,6 +159,31 @@ def test_cogroup_with_geos_matches_pairs(spark):
     idxn.unpersist()
 
 
+def test_cogroup_salting_coarse_grid_invariant(spark):
+    """A coarse grid (resolution 2 -> <= 16 populated cells) triggers
+    group salting in the cogroup strategy; results must be identical to
+    the unsalted pairs path for joins AND proximity maps."""
+    rng = random.Random(94)
+    small = geoms_to_df(spark, _skewed_rows(rng, 100))
+    big = geoms_to_df(spark, _skewed_rows(rng, 100))
+    idx = SpatialIndex.build(spark, small, validate=False, resolution=2)
+    assert idx._n_cells() <= 16
+    a = sorted((r.big_id, r.small_id) for r in idx.spatial_join(
+        big, how="intersects", validate=False, strategy="pairs").collect())
+    b = sorted((r.big_id, r.small_id) for r in idx.spatial_join(
+        big, how="intersects", validate=False, strategy="cogroup").collect())
+    assert a == b and len(a) > 0
+    idx.unpersist()
+    idxp = SpatialIndex.build(spark, small, max_distance=0.3, validate=False,
+                              resolution=2)
+    pa = sorted((r.big_id, r.small_id, r.distance) for r in idxp.proximity_map(
+        big, validate=False, strategy="pairs").collect())
+    pb = sorted((r.big_id, r.small_id, r.distance) for r in idxp.proximity_map(
+        big, validate=False, strategy="cogroup").collect())
+    assert pa == pb and len(pa) > 0
+    idxp.unpersist()
+
+
 def test_nonbroadcast_rect_point_uses_jvm_shuffle_join(spark):
     """auto strategy + non-broadcast + rect/point-only workload must
     pick the pure-JVM shuffle equi-join (no Python operator at all),
