@@ -76,6 +76,63 @@ def test_strict_raises_on_bad_type(spark):
         from_wkt(bad).collect()
 
 
+def test_random_geometry_roundtrip_bit_exact(spark):
+    """format -> parse must reproduce every coordinate double
+    BIT-EXACTLY for random geometries of every kind (Java's
+    shortest-roundtrip double formatting + ANSI cast back). One Spark
+    job for the whole corpus."""
+    import random
+
+    rng = random.Random(95)
+
+    def coord():
+        # nasty magnitudes: subnormal-ish, huge, negative, e-notation
+        return rng.choice([
+            rng.uniform(-1e-7, 1e-7), rng.uniform(-1e9, 1e9),
+            rng.uniform(-180, 180), rng.uniform(-1, 1) * 10 ** rng.randint(-12, 12),
+        ])
+
+    rows = []
+    for _ in range(60):
+        k = rng.choice([0, 1, 2, 3, 4, 5])
+        if k == 0:
+            rows.append((0, [coord(), coord()]))
+        elif k == 1:
+            rows.append((1, [coord() for _ in range(4)]))
+        elif k == 2:
+            rows.append((2, [coord() for _ in range(2 * rng.randint(3, 6))]))
+        elif k == 3:
+            ring = [coord() for _ in range(2 * rng.randint(3, 6))]
+            if rng.random() < 0.5:
+                hole = [coord() for _ in range(2 * rng.randint(3, 5))]
+                rows.append((3, ring + hole, [0, len(ring) // 2 + 1]))
+            else:
+                rows.append((3, ring, [0]))
+        elif k == 4:
+            x1, x2 = sorted((coord(), coord()))
+            y1, y2 = sorted((coord(), coord()))
+            rows.append((4, [x1, y1, x2, y2]))
+        else:
+            rows.append((5, [coord() for _ in range(6)]))
+    g = geoms_to_df(spark, rows)
+    rt = from_wkt(to_wkt(g).select("id", "wkt"))
+    orig = {r.id: (r.kind, list(r.coords), list(r.rings or []))
+            for r in g.collect()}
+    back = {r.id: (r.kind, list(r.coords), list(r.rings or []))
+            for r in rt.collect()}
+    for i, (kind, coords, rings) in orig.items():
+        bk, bc, br = back[i]
+        if kind in (4, 5):  # rect/triangle serialize as closed POLYGON
+            assert bk == 3
+            if kind == 4:
+                x1, y1, x2, y2 = coords
+                assert bc == [x1, y1, x2, y1, x2, y2, x1, y2, x1, y1]
+            else:
+                assert bc == coords + coords[:2]
+        else:
+            assert (bk, bc, br) == (kind, coords, rings), i
+
+
 def test_plan_has_no_python_operator(spark):
     df = spark.createDataFrame([(0, "POINT (1 2)")], "id long, wkt string")
     plan = from_wkt(df)._jdf.queryExecution().toString()
