@@ -250,6 +250,83 @@ WHERE ((cx) - (cx + a)) * (py - cy) - ((cy + b) - cy) * (px - (cx + a)) > 0
 """.strip()
 
 
+def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measure functions (area / perimeter / centroid) over
+    integer-lattice donut rhombi with an OFF-CENTER hole: every
+    intermediate (shoelace sums, centroid numerators) is an exact
+    integer-valued double, and the sqrt folds run in the same order in
+    both engines, so the DuckDB twin matches bit-for-bit."""
+    from .measures import with_measures
+
+    k = "s_suppkey"
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        f"{k} AS id",
+        f"{WCX.format(k=k)} AS cx", f"{WCY.format(k=k)} AS cy",
+        f"2 * {WQA.format(k=k)} AS A", f"2 * {WQB.format(k=k)} AS B",
+        f"{WQA.format(k=k)} AS ha", f"{WQB.format(k=k)} AS hb",
+        f"(({k} % 7) - 3) AS d",
+    ).selectExpr(
+        "id", "3 AS kind",
+        "transform(array("
+        "cx + A, cy, cx, cy + B, cx - A, cy, cx, cy - B, cx + A, cy, "
+        "cx + d + ha, cy, cx + d, cy + hb, cx + d - ha, cy, "
+        "cx + d, cy - hb, cx + d + ha, cy"
+        "), v -> CAST(v AS DOUBLE)) AS coords",
+        "array(0, 5) AS rings",
+    )
+    return with_measures(sup).selectExpr(
+        "id", "area", "length AS perimeter", "centroid_x", "centroid_y"
+    )
+
+
+def _oracle_geom_measures() -> str:
+    """Expanded-shoelace DuckDB twin of q_geom_measures (same fold
+    order for the sqrt sums; everything else exact integer math)."""
+    k = "s_suppkey"
+
+    def ring(cx, cy, a, b):
+        # CCW rhombus vertices: (cx+a,cy) (cx,cy+b) (cx-a,cy) (cx,cy-b)
+        xs = [f"({cx} + {a})", cx, f"({cx} - {a})", cx]
+        ys = [cy, f"({cy} + {b})", cy, f"({cy} - {b})"]
+        segs = [(xs[i], ys[i], xs[(i + 1) % 4], ys[(i + 1) % 4]) for i in range(4)]
+        sh = " + ".join(f"(({x1}) * ({y2}) - ({x2}) * ({y1}))"
+                        for x1, y1, x2, y2 in segs)
+        numx = " + ".join(
+            f"((({x1}) + ({x2})) * (({x1}) * ({y2}) - ({x2}) * ({y1})))"
+            for x1, y1, x2, y2 in segs)
+        numy = " + ".join(
+            f"((({y1}) + ({y2})) * (({x1}) * ({y2}) - ({x2}) * ({y1})))"
+            for x1, y1, x2, y2 in segs)
+        ln = " + ".join(
+            f"sqrt(CAST((({x2}) - ({x1})) * (({x2}) - ({x1})) + "
+            f"(({y2}) - ({y1})) * (({y2}) - ({y1})) AS DOUBLE))"
+            for x1, y1, x2, y2 in segs)
+        return sh, numx, numy, ln
+
+    sh0, nx0, ny0, ln0 = ring("cx", "cy", "A", "B")
+    shh, nxh, nyh, lnh = ring("hx", "cy", "ha", "hb")
+    return f"""
+WITH g AS (
+  SELECT {k} AS id,
+         {WCX.format(k=k)} AS cx, {WCY.format(k=k)} AS cy,
+         2 * {WQA.format(k=k)} AS A, 2 * {WQB.format(k=k)} AS B,
+         {WQA.format(k=k)} AS ha, {WQB.format(k=k)} AS hb,
+         {WCX.format(k=k)} + (({k} % 7) - 3) AS hx
+  FROM supplier),
+m AS (
+  SELECT id,
+         abs({sh0}) / 2e0 - abs({shh}) / 2e0 AS area,
+         ({ln0}) + ({lnh}) AS perimeter,
+         sign({sh0}) * ({nx0}) - sign({shh}) * ({nxh}) AS sx,
+         sign({sh0}) * ({ny0}) - sign({shh}) * ({nyh}) AS sy
+  FROM g)
+SELECT id, area, perimeter,
+       sx / (6e0 * area) AS centroid_x,
+       sy / (6e0 * area) AS centroid_y
+FROM m
+""".strip()
+
+
 def q_rects_intersect_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME rect-rect join forced through the non-broadcast
     cogroup+STRtree strategy — the production path when the indexed
@@ -838,6 +915,7 @@ FROM a JOIN b
         "points_within_quads": _oracle_pip_quads(small_within_big=True),
         "donut_quads_contain_points": _oracle_donut_quads(),
         "wkt_quads_contain_points": _oracle_wkt_quads(),
+        "geom_measures": _oracle_geom_measures(),
         "rects_intersect_cogroup": rects_sql,
         "hot_rects_intersect": f"""
 WITH a AS (SELECT p_partkey,
@@ -1099,6 +1177,7 @@ QUERIES = {
     "hot_rects_intersect": q_hot_rects_intersect,
     "donut_quads_contain_points": q_donut_quads_contain_points,
     "wkt_quads_contain_points": q_wkt_quads_contain_points,
+    "geom_measures": q_geom_measures,
     "mixed_rects_intersect": q_mixed_rects_intersect,
     "prox_points": q_prox_points,
     "paths_intersect_rects": q_paths_intersect_rects,
