@@ -1002,6 +1002,19 @@ class SpatialIndex:
 
         return cand.mapInPandas(refine, schema)
 
+    def knn_join(self, big_df: DataFrame, k: int, validate: bool = True,
+                 initial_ring: int | None = None, max_rounds: int = 12,
+                 big_kinds=None) -> DataFrame:
+        """k nearest indexed geometries for every probe — the SAME
+        built index serves joins, proximity maps, and kNN (the
+        module-level ``knn.knn_join`` builds a kNN-density-tuned index
+        instead; reusing a join-tuned index trades a coarser/finer ring
+        schedule for zero extra build cost)."""
+        from .knn import _knn_with_index
+
+        return _knn_with_index(big_df.sparkSession, self, big_df, k, validate,
+                               initial_ring, max_rounds, big_kinds=big_kinds)
+
     def unpersist(self):
         self.small_cells.unpersist()
         if self.hot_cells is not None:

@@ -96,22 +96,30 @@ def knn_join(
         hot_threshold=hot_threshold, split_steps=split_steps,
         cell_target_rows=max(k, 1) / 2.0,
     )
-    if initial_ring is None:
-        # size ring 0 so the expected candidate count per probe is ~2k:
-        # ring r scans (2r+1)^2 cells at density n_small / 4^res
-        n_cells = float(4 ** idx.resolution)
-        n_small = idx.small_cells.count()  # cached; cheap
-        if idx.small_fine is not None:
-            n_small += idx.small_fine.count()
-        density = max(n_small / n_cells, 1e-12)
-        initial_ring = int(np.clip(np.ceil((np.sqrt(2.0 * k / density) - 1.0) / 2.0), 1, 1 << idx.resolution))
     return _knn_with_index(spark, idx, big_df, k, validate, initial_ring,
                            max_rounds, big_kinds=big_kinds)
+
+
+def _auto_initial_ring(idx: SpatialIndex, k: int) -> int:
+    # size ring 0 so the expected candidate count per probe is ~2k:
+    # ring r scans (2r+1)^2 cells at density n_small / 4^res
+    n_cells = float(4 ** idx.resolution)
+    n_small = idx.small_cells.count()  # cached; cheap
+    if idx.small_fine is not None:
+        n_small += idx.small_fine.count()
+    density = max(n_small / n_cells, 1e-12)
+    return int(np.clip(np.ceil((np.sqrt(2.0 * k / density) - 1.0) / 2.0),
+                       1, 1 << idx.resolution))
 
 
 def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
                     max_rounds, big_kinds=None):
     from .geom import POINT as KP
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if initial_ring is None:
+        initial_ring = _auto_initial_ring(idx, k)
 
     point_probe = big_kinds is not None and set(big_kinds) == {KP}
     grid, res = idx.grid, idx.resolution

@@ -63,6 +63,24 @@ def test_knn_mixed_kinds(spark):
     assert got == [(w[0], w[1], w[3]) for w in want]
 
 
+def test_index_method_knn_matches_module_fn(spark):
+    """idx.knn_join (reusing a join-tuned index) must equal the
+    module-level knn_join result exactly."""
+    from spatialjoin.index import SpatialIndex
+
+    rng = random.Random(47)
+    small_rows = [(POINT, [rng.uniform(-5, 5), rng.uniform(-5, 5)]) for _ in range(80)]
+    big_rows = [(POINT, [rng.uniform(-5, 5), rng.uniform(-5, 5)]) for _ in range(40)]
+    small, big = geoms_to_df(spark, small_rows), geoms_to_df(spark, big_rows)
+    want = sorted((r.big_id, r.small_id, r.rank)
+                  for r in knn_join(spark, small, big, k=3).collect())
+    idx = SpatialIndex.build(spark, small, validate=False)
+    got = sorted((r.big_id, r.small_id, r.rank)
+                 for r in idx.knn_join(big, k=3, validate=False).collect())
+    idx.unpersist()
+    assert got == want
+
+
 def test_knn_max_rounds_exhaustion_raises(spark):
     """Exhausting max_rounds with probes still pending (and no broadcast
     sweep available) must raise, not return incomplete top-k quietly."""
