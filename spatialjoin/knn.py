@@ -83,7 +83,14 @@ def knn_join(
     ``hot_threshold`` enables the same hot-cell splitting spatial_join
     uses: the ring search probes cold cells at the base resolution and
     expands hot parents to ALL their fine subcells, so kNN composes
-    with skew handling (results are invariant to the split)."""
+    with skew handling (results are invariant to the split).
+
+    Fault tolerance: the result is materialized via an eager
+    checkpoint. With ``spark.sparkContext.setCheckpointDir(...)``
+    configured (recommended on multi-executor clusters) this is a
+    RELIABLE checkpoint that survives executor loss; without one it
+    falls back to ``localCheckpoint``, whose unreplicated blocks make
+    the result irrecoverable if an executor dies after the call."""
     if k < 1:
         raise ValueError("k must be >= 1")
     # kNN wants DENSITY ~k/2 per cell (the join default picks a much
@@ -344,15 +351,27 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
     out = results[0]
     for extra in results[1:]:
         out = out.unionByName(extra)
-    # materialize the union via an eager localCheckpoint, then free every
+    # materialize the union via an eager checkpoint, then free every
     # per-round cache (the round topk/pending frames otherwise accumulate
     # in executor storage for the session lifetime on multi-round
-    # workloads). localCheckpoint rather than persist: it truncates
-    # lineage (so unpersisting the round caches can't trigger recompute)
-    # AND its RDD blocks are released by the ContextCleaner when the
-    # returned frame is garbage-collected — a plain DataFrame persist
-    # would pin storage until an explicit unpersist the caller never sees
-    out = out.localCheckpoint(eager=True)
+    # workloads). Checkpoint rather than persist: it truncates lineage
+    # (so unpersisting the round caches can't trigger recompute) AND its
+    # blocks are released by the ContextCleaner when the returned frame
+    # is garbage-collected — a plain DataFrame persist would pin storage
+    # until an explicit unpersist the caller never sees.
+    #
+    # FAULT TOLERANCE: localCheckpoint blocks are executor-LOCAL and
+    # unreplicated — on a multi-executor cluster, losing any executor
+    # after the checkpoint makes the result irrecoverable (job failure;
+    # lineage was truncated so Spark cannot recompute). When the session
+    # has a RELIABLE checkpoint dir configured
+    # (spark.sparkContext.setCheckpointDir on HDFS/S3 — standard on
+    # long-lived clusters), use a reliable checkpoint instead: same
+    # lineage truncation, but blocks survive executor loss.
+    if spark.sparkContext.getCheckpointDir() is not None:
+        out = out.checkpoint(eager=True)
+    else:
+        out = out.localCheckpoint(eager=True)
     for df in cached:
         df.unpersist()
     return out

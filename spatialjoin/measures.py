@@ -40,43 +40,59 @@ def _ring_bounds(c: str = "coords", r: str = "rings"):
     )
 
 
+def _fold(body: str, s: str, e: str) -> str:
+    """Fold ``body`` over segment indices [s, e-2]. Degenerate rings
+    (< 2 points) contribute 0 — without the guard, Spark's
+    sequence(a, b) with a > b DESCENDS (step -1), silently folding
+    wrong (even negative-index) elements."""
+    return (
+        f"IF((({e})) - (({s})) >= 2, "
+        f"aggregate(sequence({s}, ({e}) - 2), CAST(0 AS DOUBLE), {body}), "
+        f"CAST(0 AS DOUBLE))"
+    )
+
+
 def _shoelace(c: str, s: str, e: str) -> str:
     """2 * signed area of the CLOSED ring spanning point offsets
     [s, e): sum over segments of x_i*y_(i+1) - x_(i+1)*y_i."""
-    return (
-        f"aggregate(sequence({s}, ({e}) - 2), CAST(0 AS DOUBLE), (acc, i) -> acc + "
+    return _fold(
+        f"(acc, i) -> acc + "
         f"element_at({c}, CAST(2*i + 1 AS INT)) * element_at({c}, CAST(2*i + 4 AS INT)) - "
-        f"element_at({c}, CAST(2*i + 3 AS INT)) * element_at({c}, CAST(2*i + 2 AS INT)))"
+        f"element_at({c}, CAST(2*i + 3 AS INT)) * element_at({c}, CAST(2*i + 2 AS INT))",
+        s, e,
     )
 
 
 def _ring_len(c: str, s: str, e: str) -> str:
     """Sum of segment lengths over point offsets [s, e)."""
-    return (
-        f"aggregate(sequence({s}, ({e}) - 2), CAST(0 AS DOUBLE), (acc, i) -> acc + "
+    return _fold(
+        f"(acc, i) -> acc + "
         f"sqrt((element_at({c}, CAST(2*i + 3 AS INT)) - element_at({c}, CAST(2*i + 1 AS INT))) * "
         f"(element_at({c}, CAST(2*i + 3 AS INT)) - element_at({c}, CAST(2*i + 1 AS INT))) + "
         f"(element_at({c}, CAST(2*i + 4 AS INT)) - element_at({c}, CAST(2*i + 2 AS INT))) * "
-        f"(element_at({c}, CAST(2*i + 4 AS INT)) - element_at({c}, CAST(2*i + 2 AS INT)))))"
+        f"(element_at({c}, CAST(2*i + 4 AS INT)) - element_at({c}, CAST(2*i + 2 AS INT))))",
+        s, e,
     )
 
 
 def _cx_num(c: str, s: str, e: str) -> str:
     """6 * signed-area-weighted centroid x of a closed ring."""
-    return (
-        f"aggregate(sequence({s}, ({e}) - 2), CAST(0 AS DOUBLE), (acc, i) -> acc + "
+    return _fold(
+        f"(acc, i) -> acc + "
         f"(element_at({c}, CAST(2*i + 1 AS INT)) + element_at({c}, CAST(2*i + 3 AS INT))) * "
         f"(element_at({c}, CAST(2*i + 1 AS INT)) * element_at({c}, CAST(2*i + 4 AS INT)) - "
-        f"element_at({c}, CAST(2*i + 3 AS INT)) * element_at({c}, CAST(2*i + 2 AS INT))))"
+        f"element_at({c}, CAST(2*i + 3 AS INT)) * element_at({c}, CAST(2*i + 2 AS INT)))",
+        s, e,
     )
 
 
 def _cy_num(c: str, s: str, e: str) -> str:
-    return (
-        f"aggregate(sequence({s}, ({e}) - 2), CAST(0 AS DOUBLE), (acc, i) -> acc + "
+    return _fold(
+        f"(acc, i) -> acc + "
         f"(element_at({c}, CAST(2*i + 2 AS INT)) + element_at({c}, CAST(2*i + 4 AS INT))) * "
         f"(element_at({c}, CAST(2*i + 1 AS INT)) * element_at({c}, CAST(2*i + 4 AS INT)) - "
-        f"element_at({c}, CAST(2*i + 3 AS INT)) * element_at({c}, CAST(2*i + 2 AS INT))))"
+        f"element_at({c}, CAST(2*i + 3 AS INT)) * element_at({c}, CAST(2*i + 2 AS INT)))",
+        s, e,
     )
 
 
@@ -156,7 +172,11 @@ def _poly_centroid(axis: str, coords: str, rings: str) -> str:
         f"IF(ri = 1, abs({_shoelace(c, 'b.s', 'b.e')}) / 2e0, "
         f"-abs({_shoelace(c, 'b.s', 'b.e')}) / 2e0)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    return f"({num}) / (6e0 * ({den}))"
+    # zero-area polygon (degenerate/sliver): centroid is undefined —
+    # return NULL rather than a silent NaN/Inf from the division
+    return (
+        f"IF(({den}) = 0e0, CAST(NULL AS DOUBLE), ({num}) / (6e0 * ({den})))"
+    )
 
 
 def centroid(axis: str, kind: str = "kind", coords: str = "coords",
@@ -181,7 +201,12 @@ def centroid(axis: str, kind: str = "kind", coords: str = "coords",
         f"(element_at({c}, CAST(2*i + 4 AS INT)) - element_at({c}, CAST(2*i + 2 AS INT))) * "
         f"(element_at({c}, CAST(2*i + 4 AS INT)) - element_at({c}, CAST(2*i + 2 AS INT)))))"
     )
-    path = f"({seg_mid}) / ({_ring_len(c, '0', n)})"
+    # zero-length path (coincident points): fall back to the first
+    # vertex — the length-weighted mean is 0/0 otherwise
+    path = (
+        f"IF(({_ring_len(c, '0', n)}) = 0e0, element_at({c}, {off}), "
+        f"({seg_mid}) / ({_ring_len(c, '0', n)}))"
+    )
     return (
         F.when(F.col(kind) == POLYGON, F.expr(poly))
         .when(F.col(kind) == RECT, F.expr(rect))

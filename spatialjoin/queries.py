@@ -341,6 +341,127 @@ def q_rects_intersect_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             big_kinds={4}, strategy="cogroup")
 
 
+def q_rects_intersect_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME rect-rect join on a NON-broadcast index with strategy
+    auto: the planner routes rect/point workloads to the pure-JVM
+    shuffle equi-join + SQL refine (index.py spatial_join sql_shuffle
+    branch) — the fastest non-broadcast plan, with no Python operator
+    anywhere and NO driver-collected geometry (small_geo_bc is None).
+    The cell equi-join itself is an ordinary join Catalyst remains free
+    to plan: at driver-gate scale its statistics pick a broadcast hash
+    join (correct at 2k rows), at bench scale (see BENCH/BASELINE.md
+    shuffle_rects row) it runs as the shuffle join this path is named
+    for. Shares q_rects_intersect's oracle."""
+    small = _rects_df(spark, sf_dir, "part", "p_partkey")
+    big = _rects_df(spark, sf_dir, "lineitem", "(l_orderkey * 10 + l_linenumber)",
+                    id_expr=LINEITEM_ID)
+    idx = SpatialIndex.build(spark, small, validate=False, broadcast=False)
+    return idx.spatial_join(big, how="intersects", validate=False, big_kinds={4})
+
+
+# bimodal LINE scale factor: every 13th supplier line is 64x longer —
+# the mixed-scale corpus for the multilevel index; both factors are
+# exact powers of two so the scaled deltas round identically in Spark
+# and DuckDB
+MLSC = "(CASE WHEN {k} % 13 = 0 THEN 8e0 ELSE 125e-3 END)"
+
+
+def _mixed_lines_df(spark, sf_dir):
+    """Bimodal-length part lines: every 13th is 64x longer."""
+    k = "p_partkey"
+    x0, y0 = PX.format(k=k), PY.format(k=k)
+    sc = MLSC.format(k=k)
+    dx = f"(({DX1.format(k=k)}) * {sc})"
+    dy = f"(({DY1.format(k=k)}) * {sc})"
+    return spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        f"{k} as id", "1 as kind",
+        f"array({x0}, {y0}, ({x0}) + {dx}, ({y0}) + {dy}) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def q_mixed_prox_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROXIMITY map through the MULTILEVEL (size-stratified) index —
+    the last strategy x operator cell: bimodal-length part lines
+    (tiny + huge) within distance 0.25 of customer points. Each line
+    indexes at the level matching its buffered-bbox size; probes cover
+    every populated level; refine is the exact point-segment distance
+    kernel. max_distance is an exact power of two so the inclusive
+    threshold compares identically in both engines."""
+    lines = _mixed_lines_df(spark, sf_dir)
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, lines, max_distance=0.25, validate=False,
+                             multilevel=True, resolution=6)
+    return idx.proximity_map(pts, validate=False, big_kinds={0})
+
+
+def _oracle_mixed_prox() -> str:
+    """Twin of _oracle_lines_prox with the bimodal scale applied to the
+    segment deltas (same expression text as the Spark derivation)."""
+    k = "p_partkey"
+    x0, y0 = PX.format(k=k), PY.format(k=k)
+    sc = MLSC.format(k=k)
+    dx = f"(({DX1.format(k=k)}) * {sc})"
+    dy = f"(({DY1.format(k=k)}) * {sc})"
+    px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
+    return f"""
+WITH ln AS (SELECT p_partkey, {x0} AS ax, {y0} AS ay,
+                   ({x0}) + {dx} AS bx2, ({y0}) + {dy} AS by2 FROM part),
+pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
+base AS (SELECT c_custkey, p_partkey, px, py, ax, ay,
+                bx2 - ax AS dx, by2 - ay AS dy FROM pts, ln),
+tt AS (SELECT *, least(greatest(((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy), 0e0), 1e0) AS t
+       FROM base),
+prj AS (SELECT c_custkey, p_partkey, px - (ax + t * dx) AS ex, py - (ay + t * dy) AS ey FROM tt)
+SELECT c_custkey AS big_id, p_partkey AS small_id,
+       sqrt(ex * ex + ey * ey) AS distance
+FROM prj WHERE sqrt(ex * ex + ey * ey) <= 25e-2
+""".strip()
+
+
+def q_wkt_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT lake-ingest with DEAD-LETTER routing: supplier rhombi are
+    serialized to WKT, a deterministic subset is CORRUPTED (unsupported
+    type / unparseable number), and from_wkt(permissive=True) nulls the
+    kind of every bad row so one `kind IS NULL` filter quarantines
+    them — the pattern the wkt module docstring promises. Output:
+    (id, quarantined, npts) with npts NULL for quarantined rows."""
+    from .wkt import from_wkt
+
+    k = "s_suppkey"
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        f"{k} AS id",
+        f"{WCX.format(k=k)} AS cx", f"{WCY.format(k=k)} AS cy",
+        f"{WQA.format(k=k)} AS a", f"{WQB.format(k=k)} AS b",
+    ).selectExpr(
+        "id",
+        "CASE WHEN id % 37 = 0 THEN concat('CIRCLE (', CAST(cx AS STRING), ' ', CAST(cy AS STRING), ', 1)') "
+        "     WHEN id % 41 = 0 THEN 'POLYGON ((1 x, 2 y))' "
+        "     ELSE concat('POLYGON ((', "
+        "CAST(cx + a AS STRING), ' ', CAST(cy AS STRING), ', ', "
+        "CAST(cx AS STRING), ' ', CAST(cy + b AS STRING), ', ', "
+        "CAST(cx - a AS STRING), ' ', CAST(cy AS STRING), ', ', "
+        "CAST(cx AS STRING), ' ', CAST(cy - b AS STRING), ', ', "
+        "CAST(cx + a AS STRING), ' ', CAST(cy AS STRING), '))') END AS wkt",
+    )
+    parsed = from_wkt(sup, permissive=True)
+    return parsed.selectExpr(
+        "id",
+        "CAST(kind IS NULL AS INT) AS quarantined",
+        "IF(kind IS NULL, CAST(NULL AS INT), CAST(size(coords) / 2 AS INT)) AS npts",
+    )
+
+
+def _oracle_wkt_dead_letter() -> str:
+    return """
+SELECT s_suppkey AS id,
+       CAST((s_suppkey % 37 = 0 OR s_suppkey % 41 = 0) AS INT) AS quarantined,
+       CASE WHEN s_suppkey % 37 = 0 OR s_suppkey % 41 = 0
+            THEN CAST(NULL AS INT) ELSE 5 END AS npts
+FROM supplier
+""".strip()
+
+
 # skewed-cluster rect derivations: 80% of keys collapse into [0, 0.1]^2
 # (same hot cluster as SKX/SKY) with tiny half-sizes so the hot-split
 # result set stays bounded
@@ -949,6 +1070,9 @@ FROM a JOIN b
   ON a.xmin <= b.xmax AND a.xmax >= b.xmin AND a.ymin <= b.ymax AND a.ymax >= b.ymin
 """.strip(),
         "rects_intersect": rects_sql,
+        "rects_intersect_shuffle": rects_sql,
+        "mixed_prox_points": _oracle_mixed_prox(),
+        "wkt_dead_letter": _oracle_wkt_dead_letter(),
         "prox_points": f"""
 WITH sup AS (SELECT s_suppkey, {px_s} AS px, {py_s} AS py FROM supplier),
 cst AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer)
@@ -1091,11 +1215,19 @@ def q_events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
     # the memory sink holds the aggregated rows on the driver; the
-    # staged source dir is no longer needed
+    # staged source dir is no longer needed once the query TERMINATED —
+    # reading the sink (or removing the source) while the availableNow
+    # run is still active would surface partial complete-mode results
     import shutil
 
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        raise RuntimeError(
+            "events_stream_rollup: availableNow stream did not terminate "
+            "within 300s — refusing to read a partial memory sink"
+        )
     shutil.rmtree(src_dir, ignore_errors=True)
     return spark.table(name).selectExpr(
         "CAST(unix_timestamp(win.start) AS BIGINT) AS win_start",
@@ -1174,6 +1306,9 @@ QUERIES = {
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
     "rects_intersect_cogroup": q_rects_intersect_cogroup,
+    "rects_intersect_shuffle": q_rects_intersect_shuffle,
+    "mixed_prox_points": q_mixed_prox_points,
+    "wkt_dead_letter": q_wkt_dead_letter,
     "hot_rects_intersect": q_hot_rects_intersect,
     "donut_quads_contain_points": q_donut_quads_contain_points,
     "wkt_quads_contain_points": q_wkt_quads_contain_points,

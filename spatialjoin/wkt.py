@@ -99,16 +99,34 @@ def from_wkt(df: DataFrame, wkt_col: str = "wkt", permissive: bool = False) -> D
         )
         .drop("__t", "__ra")
     )
+    # malformed-body detection (both modes): an empty/absent body
+    # ('POINT EMPTY', truncated text), an odd coordinate count
+    # ('LINESTRING (0 0, 1)'), a null number (TRY_CAST miss), or a POINT
+    # with more than one pair — each would otherwise emit a geometry row
+    # that violates the engine contract downstream
+    bad = (
+        F.col("coords").isNull()
+        | (F.size("coords") < 2)
+        | (F.size("coords") % 2 == 1)
+        | F.exists("coords", lambda x: x.isNull())
+        | ((F.col("kind") == 0) & (F.size("coords") != 2))
+    )
     if permissive:
-        # malformed numbers (TRY_CAST nulls) or an empty body null the
-        # whole row's kind, so downstream filters catch every bad row
-        # with one `kind IS NOT NULL`
-        bad = (
-            F.col("coords").isNull()
-            | (F.size("coords") < 2)
-            | F.exists("coords", lambda x: x.isNull())
-        )
+        # permissive: null the kind so downstream filters catch every
+        # bad row with one `kind IS NOT NULL` (dead-letter routing)
         out = out.withColumn("kind", F.when(bad, F.lit(None)).otherwise(F.col("kind")))
+    else:
+        # strict: malformed text raises (module contract), matching the
+        # unsupported-type raise above
+        out = out.withColumn(
+            "kind",
+            F.when(
+                bad,
+                F.raise_error(
+                    F.concat(F.lit("from_wkt: malformed WKT body: "), F.col(wkt_col))
+                ),
+            ).otherwise(F.col("kind")),
+        )
     return out
 
 

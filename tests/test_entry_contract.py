@@ -70,6 +70,30 @@ def test_strategy_queries_engage_their_paths(spark):
     d = _donuts_df(spark, SF_DIR, "supplier", "s_suppkey").first()
     assert list(d.rings) == [0, 5] and len(d.coords) == 20
 
+    # the shuffle row must run with NO broadcast geometry and NO Python
+    # operator (Catalyst may still pick a broadcast HASH join for the
+    # tiny cell equi-join at this scale — that's its call, not ours)
+    from spatialjoin.queries import _mixed_lines_df, _rects_df
+
+    small = _rects_df(spark, SF_DIR, "part", "p_partkey")
+    idx = SpatialIndex.build(spark, small, validate=False, broadcast=False)
+    assert idx.small_geo_bc is None and not idx.broadcast_small
+    big = _rects_df(spark, SF_DIR, "part", "p_partkey")
+    plan = idx.spatial_join(big, validate=False, big_kinds={4}) \
+        ._jdf.queryExecution().toString()
+    for op in ("MapInPandas", "MapInArrow", "FlatMapCoGroupsInPandas",
+               "FlatMapCoGroupsInArrow", "BatchEvalPython"):
+        assert op not in plan, op
+    idx.unpersist()
+
+    # the mixed-prox row's index must really be multilevel (>= 2
+    # populated size strata) or it would just re-test one resolution
+    lines = _mixed_lines_df(spark, SF_DIR)
+    idx = SpatialIndex.build(spark, lines, max_distance=0.25, validate=False,
+                             multilevel=True, resolution=6)
+    assert idx.levels is not None and len(idx.levels) >= 2, idx.levels
+    idx.unpersist()
+
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(spark, ddb, name):

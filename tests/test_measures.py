@@ -41,6 +41,31 @@ def test_measures_all_kinds(spark):
             assert math.isclose(g, w, rel_tol=1e-12, abs_tol=1e-12), (i, got[i], want)
 
 
+def test_degenerate_geometry_guards(spark):
+    """Zero-area polygons get a NULL centroid (not NaN/Inf), rings with
+    < 2 points contribute 0 (Spark's sequence(a, b) would otherwise
+    DESCEND and fold wrong elements), zero-length lines centroid at
+    their vertex."""
+    rows = [
+        # collinear (zero-area) polygon
+        (3, [0.0, 0.0, 2.0, 0.0, 4.0, 0.0], [0]),
+        # square with a degenerate single-point second "ring"
+        (3, [0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0, 1.0, 1.0], [0, 4]),
+        # zero-length line
+        (1, [2.0, 3.0, 2.0, 3.0]),
+    ]
+    df = with_measures(geoms_to_df(spark, rows))
+    got = {r.id: r for r in df.collect()}
+    assert got[0].area == 0.0
+    assert got[0].centroid_x is None and got[0].centroid_y is None
+    assert math.isclose(got[1].area, 16.0)
+    assert math.isclose(got[1].length, 16.0)
+    assert math.isclose(got[1].centroid_x, 2.0)
+    assert math.isclose(got[1].centroid_y, 2.0)
+    assert got[2].length == 0.0
+    assert (got[2].centroid_x, got[2].centroid_y) == (2.0, 3.0)
+
+
 def test_measures_plan_is_pure_jvm(spark):
     df = with_measures(geoms_to_df(spark, [c for c, _ in CASES]))
     plan = df._jdf.queryExecution().toString()

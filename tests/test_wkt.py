@@ -76,6 +76,27 @@ def test_strict_raises_on_bad_type(spark):
         from_wkt(bad).collect()
 
 
+def test_strict_raises_on_malformed_body(spark):
+    """Supported type with a malformed/absent body must raise in strict
+    mode (module contract: 'malformed text raises') — not emit a
+    kind-with-empty-coords row that breaks the engine downstream."""
+    for txt in ("POINT EMPTY", "LINESTRING (0 0, 1)", "POINT (1 2, 3 4)",
+                "POLYGON", "LINESTRING"):
+        bad = spark.createDataFrame([(0, txt)], "id long, wkt string")
+        with pytest.raises(Exception, match="malformed WKT body"):
+            from_wkt(bad).collect()
+
+
+def test_permissive_nulls_malformed_body(spark):
+    bad = spark.createDataFrame(
+        [(0, "POINT EMPTY"), (1, "LINESTRING (0 0, 1)"),
+         (2, "POINT (1 2, 3 4)"), (3, "POINT (3 4)")],
+        "id long, wkt string",
+    )
+    got = {r.id: r.kind for r in from_wkt(bad, permissive=True).collect()}
+    assert got == {0: None, 1: None, 2: None, 3: 0}
+
+
 def test_random_geometry_roundtrip_bit_exact(spark):
     """format -> parse must reproduce every coordinate double
     BIT-EXACTLY for random geometries of every kind (Java's
