@@ -367,6 +367,9 @@ class SpatialIndex:
         # multilevel (size-stratified) index: populated LEVELS the probe
         # side must cover (None = single-resolution index)
         self.levels = levels
+        # geometry-row count from the build stats job (None when the
+        # index was constructed directly; consumers fall back to a count)
+        self.n_small_rows = None
 
     # -- construction -------------------------------------------------------
 
@@ -420,19 +423,31 @@ class SpatialIndex:
         s = s.withColumn("s_px", F.element_at("s_coords", 1)).withColumn(
             "s_py", F.element_at("s_coords", 2)
         )
+        # ONE stats job collects everything later stages would otherwise
+        # re-derive with their own actions: extent/median-size (grid
+        # choice), row count (kNN ring sizing), coordinate volume
+        # (broadcast byte budget), kind set + max ring count (SQL
+        # fast-path dispatch) — each removed count()/first() was a
+        # driver round-trip on the query path
+        stats = s.select(
+            F.min("s_xmin"), F.min("s_ymin"), F.max("s_xmax"), F.max("s_ymax"),
+            F.percentile_approx(F.col("s_xmax") - F.col("s_xmin"), 0.5),
+            F.percentile_approx(F.col("s_ymax") - F.col("s_ymin"), 0.5),
+            F.count(F.lit(1)),
+            F.sum(F.size("s_coords")),
+            F.collect_set("s_kind"),
+            F.max(F.size("s_rings")),
+        ).first()
+        n_small = int(stats[6] or 0)
+        n_vals = int(stats[7] or 0)
+        small_kinds = set(stats[8] or [])
+        small_max_rings = int(stats[9] or 0)
         if extent is None or resolution is None:
-            stats = s.select(
-                F.min("s_xmin"), F.min("s_ymin"), F.max("s_xmax"), F.max("s_ymax"),
-                F.percentile_approx(F.col("s_xmax") - F.col("s_xmin"), 0.5),
-                F.percentile_approx(F.col("s_ymax") - F.col("s_ymin"), 0.5),
-                F.count(F.lit(1)),
-            ).first()
-            xmin, ymin, xmax, ymax, med_w, med_h, n_small = stats
+            xmin, ymin, xmax, ymax, med_w, med_h = stats[:6]
             if xmin is None:
                 xmin = ymin = -1.0
                 xmax = ymax = 1.0
                 med_w = med_h = 1.0
-                n_small = 0
             if extent is None:
                 # tiny margin so max coords stay strictly inside.
                 # Correctness requires only that the SMALL side's
@@ -500,8 +515,8 @@ class SpatialIndex:
             if small_fine is not None:
                 n_cells += small_fine.count()
             # byte-based budget over the GEOMETRY rows (what actually
-            # gets collected), not the per-cell covering rows
-            n_vals = s.select(F.sum(F.size("s_coords"))).first()[0] or 0
+            # gets collected — n_vals from the build stats job), not the
+            # per-cell covering rows
             bc = n_cells <= BROADCAST_MAX_CELLS and n_vals * 8 <= BROADCAST_BYTE_BUDGET
         small_geo_bc = None
         if bc:
@@ -514,11 +529,18 @@ class SpatialIndex:
                 [r.s_rings for r in rows],
             )
             small_geo_bc = spark.sparkContext.broadcast((ids, batch))
-        return SpatialIndex(
+        idx = SpatialIndex(
             spark, small_cells, grid, resolution, max_distance, bool(bc),
             hot_cells=hot, small_fine=small_fine, fine_resolution=fine_res,
             small_geo_bc=small_geo_bc, levels=levels,
         )
+        # cache build-time stats on the index: later calls (kNN ring
+        # sizing, SQL fast-path dispatch) would otherwise re-derive each
+        # with its own driver action
+        idx.n_small_rows = n_small
+        idx._small_kinds_cache = small_kinds
+        idx._small_max_rings = small_max_rings
+        return idx
 
     # -- operators -----------------------------------------------------------
 

@@ -109,11 +109,15 @@ def knn_join(
 
 def _auto_initial_ring(idx: SpatialIndex, k: int) -> int:
     # size ring 0 so the expected candidate count per probe is ~2k:
-    # ring r scans (2r+1)^2 cells at density n_small / 4^res
+    # ring r scans (2r+1)^2 cells at density n_small / 4^res. The row
+    # count comes from the build stats job (no extra driver actions on
+    # the query path); direct-constructed indexes fall back to a count.
     n_cells = float(4 ** idx.resolution)
-    n_small = idx.small_cells.count()  # cached; cheap
-    if idx.small_fine is not None:
-        n_small += idx.small_fine.count()
+    n_small = idx.n_small_rows
+    if n_small is None:
+        n_small = idx.small_cells.count()
+        if idx.small_fine is not None:
+            n_small += idx.small_fine.count()
     density = max(n_small / n_cells, 1e-12)
     return int(np.clip(np.ceil((np.sqrt(2.0 * k / density) - 1.0) / 2.0),
                        1, 1 << idx.resolution))

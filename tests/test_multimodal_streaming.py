@@ -1,5 +1,5 @@
-"""Multimodal ops (real image transforms, stubbed a/v codecs with real
-plumbing) and Structured Streaming windowed cell counts."""
+"""Multimodal ops (real numpy codecs for image/audio/video) and
+Structured Streaming windowed cell counts."""
 
 from __future__ import annotations
 
@@ -12,7 +12,11 @@ from spatialjoin.grid import Grid
 from spatialjoin.images import decode, synth_images, _pixels_for
 from spatialjoin.multimodal import (
     audio_features,
-    decode_audio_stub,
+    decode_audio,
+    decode_ulaw8,
+    decode_video_frames,
+    encode_rled,
+    encode_ulaw8,
     image_features,
     resize_images,
     sample_frames,
@@ -44,7 +48,7 @@ def test_image_features_phash_integrity(spark):
     imgs.unpersist()
 
 
-def test_audio_stub_plumbing(spark):
+def test_audio_features_pcm16(spark):
     sig = (np.sin(np.linspace(0, 20, 4000)) * 20000).astype("<i2")
     rows = [("clip0", sig.tobytes(), "pcm16"), ("clip1", b"", "pcm16")]
     df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
@@ -53,13 +57,63 @@ def test_audio_stub_plumbing(spark):
     want = float(np.sqrt(np.mean((sig.astype(np.float64) / 32768.0) ** 2)))
     assert abs(out["clip0"].rms - want) < 1e-12
     assert out["clip1"].n_samples == 0
-    # unknown codec must raise (stub boundary is explicit)
+    # unknown codec must raise (codec boundary is explicit)
     bad = spark.createDataFrame([("c", b"x", "mp3")], "clip_id string, bytes binary, codec string")
-    with pytest.raises(Exception, match="NotImplementedError|external decoder"):
+    with pytest.raises(Exception, match="unknown audio codec"):
         audio_features(bad).collect()
 
 
-def test_video_frame_sampling_stub(spark):
+def test_ulaw8_codec_exactness():
+    """G.711 mu-law: byte-level decode->encode is the identity on every
+    canonical code (bijection; 0x7F is the one non-canonical negative-
+    zero alias), and encode->decode error is within the segment step."""
+    codes = np.arange(256, dtype=np.uint8)
+    dec = decode_ulaw8(codes.tobytes())
+    re = np.frombuffer(encode_ulaw8(dec), dtype=np.uint8)
+    keep = codes != 0x7F  # -0 re-encodes as +0 (0xFF)
+    assert (re[keep] == codes[keep]).all()
+    assert re[codes == 0x7F][0] == 0xFF
+    # quantization error bound: half the segment step at every amplitude
+    sig = (np.sin(np.linspace(0, 50, 8000)) * 30000).astype(np.int16)
+    rt = decode_ulaw8(encode_ulaw8(sig)).astype(np.int64)
+    step = 8 << np.clip(
+        np.floor(np.log2(np.minimum(np.abs(sig.astype(np.int64)), 32635) + 132)).astype(np.int64) - 7,
+        0, 7)
+    assert (np.abs(rt - sig) <= step).all()
+
+
+def test_ulaw8_through_audio_features(spark):
+    sig = (np.sin(np.linspace(0, 20, 4000)) * 20000).astype(np.int16)
+    df = spark.createDataFrame(
+        [("c0", encode_ulaw8(sig), "ulaw8")], "clip_id string, bytes binary, codec string"
+    )
+    out = audio_features(df).collect()[0]
+    assert out.n_samples == 4000
+    want = float(np.sqrt(np.mean(decode_audio(encode_ulaw8(sig), "ulaw8") ** 2)))
+    assert abs(out.rms - want) < 1e-12
+
+
+def test_rled_video_roundtrip_exact():
+    """rled (delta + RLE) decode must reproduce every frame byte-exactly,
+    including runs > 255 and frame-to-frame deltas that wrap mod 256."""
+    rng = np.random.default_rng(7)
+    w, h, n = 16, 12, 5
+    frames = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)]
+    for _ in range(n - 1):
+        nxt = frames[-1].copy()
+        # sparse edits + a long constant run keep the stream compressible
+        nxt[rng.integers(0, h), rng.integers(0, w)] = rng.integers(0, 256, 3)
+        frames.append(nxt)
+    frames.append(np.zeros((h, w, 3), dtype=np.uint8))  # 768-byte run > 255
+    blob = encode_rled(frames)
+    assert len(blob) < sum(f.nbytes for f in frames)  # actually compresses
+    got = list(decode_video_frames(blob, "rled", w, h, len(frames)))
+    for i, (idx, fb) in enumerate(got):
+        assert idx == i
+        assert fb == frames[i].tobytes()
+
+
+def test_video_frame_sampling_raw(spark):
     w = h = 4
     frames = [np.full((h, w, 3), i, dtype=np.uint8) for i in range(6)]
     blob = b"".join(f.tobytes() for f in frames)
@@ -71,6 +125,28 @@ def test_video_frame_sampling_stub(spark):
     assert [i for i, _ in out] == [0, 2, 4]
     for i, b in out:
         assert np.frombuffer(b, dtype=np.uint8).reshape(h, w, 3).max() == i
+
+
+def test_video_frame_sampling_rled(spark):
+    """Same sampling contract through the delta-coded stream: sampled
+    frames decode byte-exactly even though their deltas chain through
+    unsampled frames."""
+    w = h = 4
+    frames = [np.full((h, w, 3), i * 40, dtype=np.uint8) for i in range(6)]
+    df = spark.createDataFrame(
+        [("v0", bytearray(encode_rled(frames)), "rled", w, h, 6)],
+        "video_id string, bytes binary, codec string, w int, h int, n_frames int",
+    )
+    out = sorted((r.frame_idx, bytes(r.bytes)) for r in sample_frames(df, every=2).collect())
+    assert [i for i, _ in out] == [0, 2, 4]
+    for i, b in out:
+        assert b == frames[i].tobytes()
+    bad = spark.createDataFrame(
+        [("v1", b"x", "h264", 2, 2, 1)],
+        "video_id string, bytes binary, codec string, w int, h int, n_frames int",
+    )
+    with pytest.raises(Exception, match="unknown video codec"):
+        sample_frames(bad).collect()
 
 
 def test_streaming_windowed_cell_counts(spark, tmp_path):
