@@ -21,6 +21,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from spatialjoin import queries as Q  # noqa: E402
 from spatialjoin.sparkutil import get_spark  # noqa: E402
 
+
+def _burn(_):
+    t0 = time.perf_counter()
+    x = n = 0
+    while time.perf_counter() - t0 < 1.6:
+        for i in range(100000):
+            x += i * i
+        n += 1
+    return n
+
+
+def cpu_ceiling(cpus: int) -> dict:
+    """~10-second pure-CPU probe run BEFORE Spark starts: single-core
+    and all-core iteration throughput. Recorded so per-round BENCH
+    numbers are drift-adjustable — this VM's delivered compute swings
+    20-35% between sessions (noisy neighbors), which round 3 misread as
+    a code regression until two checkouts were A/B'd by hand. A future
+    reader divides suite times by (cpu_all ratio) before comparing
+    rounds."""
+    import multiprocessing
+
+    single = max(_burn(0) for _ in range(2))
+    with multiprocessing.Pool(cpus) as p:
+        all_core = max(sum(p.map(_burn, range(cpus))) for _ in range(2))
+    return {
+        "cpu_single": single,
+        "cpu_all": all_core,
+        "cpu_parallel_ratio": round(all_core / single, 3),
+    }
+
 # headline suite: PIP (quad + rect), big rect-rect join (broadcast AND
 # the non-broadcast cogroup production path), proximity, kNN,
 # tile-assign — the north rule's operator set.
@@ -41,7 +71,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
-    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "1"))
+    # repeat >= 3 by default: single-shot numbers on this VM read as
+    # 25-50% swings that are machine drift, not code (round-3 lesson)
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "3"))
+    ceiling = cpu_ceiling(cpus)  # before Spark: unloaded-machine probe
     spark = get_spark(cpus=cpus, app="spatialjoin-bench")
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -100,6 +133,8 @@ def main() -> None:
                     "rows": rows,
                     "rows_per_sec": round(total_rows / total, 1) if total else None,
                     "cpus": cpus,
+                    "repeat": repeat,
+                    "ceiling": ceiling,
                     **recalls,
                 }
             )

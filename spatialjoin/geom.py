@@ -204,6 +204,60 @@ class GeomBatch:
             gb.validate()
         return gb
 
+    @staticmethod
+    def from_arrow(kinds, coords_arr, rings_arr=None):
+        """Zero-copy batch constructor from Arrow LIST arrays (the
+        applyInArrow hot path). The whole column's coordinates arrive as
+        ONE flat float64 buffer + an offsets vector, which is exactly
+        this class's pooled layout — no per-row object boxing, no
+        pandas, no per-row concatenate (from_columns pays all three).
+
+        ``coords_arr`` / ``rings_arr``: pyarrow ListArray or
+        ChunkedArray (no null values — engine contract ships empty
+        arrays, see _prefixed)."""
+        import pyarrow as pa
+
+        kind = np.asarray(kinds, dtype=np.int8)
+        n = len(kind)
+        if n == 0:
+            z = np.zeros(0)
+            return GeomBatch(kind, np.zeros(1, dtype=np.int64), z, z.copy(),
+                             np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int64))
+        if isinstance(coords_arr, pa.ChunkedArray):
+            coords_arr = coords_arr.combine_chunks()
+        off = np.asarray(coords_arr.offsets, dtype=np.int64)
+        flat = coords_arr.values.to_numpy(zero_copy_only=False)
+        flat = flat[off[0]: off[-1]]
+        off = off - off[0]
+        offs = off >> 1
+        xs = flat[0::2]
+        ys = flat[1::2]
+        ring_counts = np.zeros(n, dtype=np.int32)
+        ring_starts = np.zeros(0, dtype=np.int64)
+        poly = kind == POLYGON
+        if poly.any() and rings_arr is not None:
+            if isinstance(rings_arr, pa.ChunkedArray):
+                rings_arr = rings_arr.combine_chunks()
+            roff = np.asarray(rings_arr.offsets, dtype=np.int64)
+            rvals = rings_arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            rvals = rvals[roff[0]: roff[-1]]
+            roff = roff - roff[0]
+            counts = np.diff(roff)
+            if (counts[poly] == 0).any():
+                # rare: polygon with implied [0] exterior — per-row path
+                parts = []
+                for i in np.flatnonzero(poly):
+                    ro = rvals[roff[i]: roff[i + 1]]
+                    if len(ro) == 0:
+                        ro = np.zeros(1, dtype=np.int64)
+                    ring_counts[i] = len(ro)
+                    parts.append(ro + offs[i])
+                ring_starts = np.concatenate(parts)
+            else:
+                ring_counts = counts.astype(np.int32)
+                ring_starts = rvals + np.repeat(offs[:-1], counts)
+        return GeomBatch(kind, offs, xs, ys, ring_counts, ring_starts)
+
     # -- validation (reference parity) ------------------------------------
 
     def validate(self) -> None:

@@ -332,7 +332,7 @@ def q_rects_intersect_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cogroup+STRtree strategy — the production path when the indexed
     side exceeds the broadcast budget (at 100 TB it always does). The
     plan shuffles both sides on cell and refines per cell group inside
-    one FlatMapCoGroupsInPandas; shares q_rects_intersect's oracle."""
+    one FlatMapCoGroupsInArrow; shares q_rects_intersect's oracle."""
     small = _rects_df(spark, sf_dir, "part", "p_partkey")
     big = _rects_df(spark, sf_dir, "lineitem", "(l_orderkey * 10 + l_linenumber)",
                     id_expr=LINEITEM_ID)

@@ -47,7 +47,7 @@ def test_entry_smoke(spark):
 
 
 def test_strategy_queries_engage_their_paths(spark):
-    """The cogroup query's plan must contain FlatMapCoGroupsInPandas,
+    """The cogroup query's plan must contain FlatMapCoGroupsInArrow,
     the hot query's index must actually have hot cells, and the donut
     table must really carry two rings — otherwise these oracle rows
     would silently test the broadcast-pairs path again."""
@@ -59,7 +59,7 @@ def test_strategy_queries_engage_their_paths(spark):
     )
 
     plan = q_rects_intersect_cogroup(spark, SF_DIR)._jdf.queryExecution().toString()
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "FlatMapCoGroupsInArrow" in plan
 
     small = _skewed_rects_df(spark, SF_DIR, "part", "p_partkey")
     idx = SpatialIndex.build(spark, small, validate=False, resolution=6,

@@ -472,3 +472,52 @@ def test_prox_map_matches_scalar(rows_a, rows_b, max_d):
     for g, w in zip(got, want):
         assert g[0] == w[0] and g[1] == w[1]
         assert math.isclose(g[2], w[2], rel_tol=1e-12, abs_tol=1e-15)
+
+
+def test_geombatch_from_arrow_matches_from_columns():
+    """The applyInArrow fast constructor must produce the identical
+    pooled layout as from_columns for every kind, including polygons
+    with holes and the implied-[0]-exterior fallback."""
+    import pyarrow as pa
+
+    from spatialjoin.geom import GeomBatch
+
+    kinds = [0, 1, 2, 3, 3, 4, 5, 3]
+    coords = [
+        [1.0, 2.0],
+        [0.0, 0.0, 3.0, 4.0],
+        [0.0, 0.0, 1.0, 1.0, 2.0, 0.0],
+        # closed square
+        [0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0, 0.0, 0.0],
+        # closed square + closed hole
+        [0.0, 0.0, 8.0, 0.0, 8.0, 8.0, 0.0, 8.0, 0.0, 0.0,
+         2.0, 2.0, 3.0, 2.0, 3.0, 3.0, 2.0, 3.0, 2.0, 2.0],
+        [1.0, 2.0, 4.0, 6.0],
+        [0.0, 0.0, 4.0, 0.0, 0.0, 3.0],
+        # polygon with EMPTY rings array (implied [0] exterior)
+        [0.0, 0.0, 2.0, 0.0, 1.0, 2.0, 0.0, 0.0],
+    ]
+    rings = [[], [], [], [0], [0, 5], [], [], []]
+    a = GeomBatch.from_arrow(
+        np.asarray(kinds, dtype=np.int8),
+        pa.array(coords, type=pa.list_(pa.float64())),
+        pa.array(rings, type=pa.list_(pa.int32())),
+    )
+    b = GeomBatch.from_columns(
+        np.asarray(kinds, dtype=np.int8),
+        [np.asarray(c) for c in coords],
+        [r if r else None for r in rings],
+    )
+    for f in ("kind", "offs", "xs", "ys", "ring_counts", "ring_starts"):
+        assert (getattr(a, f) == getattr(b, f)).all(), f
+    # sliced arrays (non-zero arrow offset) must decode identically
+    ca = pa.array(coords, type=pa.list_(pa.float64())).slice(2)
+    ra = pa.array(rings, type=pa.list_(pa.int32())).slice(2)
+    s = GeomBatch.from_arrow(np.asarray(kinds[2:], dtype=np.int8), ca, ra)
+    s2 = GeomBatch.from_columns(
+        np.asarray(kinds[2:], dtype=np.int8),
+        [np.asarray(c) for c in coords[2:]],
+        [r if r else None for r in rings[2:]],
+    )
+    for f in ("kind", "offs", "xs", "ys", "ring_counts", "ring_starts"):
+        assert (getattr(s, f) == getattr(s2, f)).all(), f

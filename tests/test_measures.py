@@ -69,5 +69,5 @@ def test_degenerate_geometry_guards(spark):
 def test_measures_plan_is_pure_jvm(spark):
     df = with_measures(geoms_to_df(spark, [c for c, _ in CASES]))
     plan = df._jdf.queryExecution().toString()
-    for op in ("MapInPandas", "MapInArrow", "FlatMapCoGroupsInPandas", "BatchEvalPython"):
+    for op in ("MapInPandas", "MapInArrow", "FlatMapCoGroupsInPandas", "FlatMapCoGroupsInArrow", "BatchEvalPython"):
         assert op not in plan

@@ -155,7 +155,7 @@ def test_cogroup_with_geos_matches_pairs(spark):
     plan = idxn.spatial_join(
         big, how="intersects", with_geos=True, validate=False
     )._jdf.queryExecution().toString()
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "FlatMapCoGroupsInArrow" in plan
     idxn.unpersist()
 
 
@@ -202,7 +202,7 @@ def test_nonbroadcast_rect_point_uses_jvm_shuffle_join(spark):
     idx = SpatialIndex.build(spark, small, validate=False, broadcast=False)
     auto = idx.spatial_join(big, how="intersects", validate=False, big_kinds={RECT})
     plan = auto._jdf.queryExecution().toString()
-    for op in ("FlatMapCoGroupsInPandas", "MapInPandas", "MapInArrow"):
+    for op in ("FlatMapCoGroupsInPandas", "FlatMapCoGroupsInArrow", "MapInPandas", "MapInArrow"):
         assert op not in plan
     a = sorted((r.big_id, r.small_id) for r in auto.collect())
     b = sorted((r.big_id, r.small_id) for r in idx.spatial_join(

@@ -157,5 +157,5 @@ def test_random_geometry_roundtrip_bit_exact(spark):
 def test_plan_has_no_python_operator(spark):
     df = spark.createDataFrame([(0, "POINT (1 2)")], "id long, wkt string")
     plan = from_wkt(df)._jdf.queryExecution().toString()
-    for op in ("MapInPandas", "MapInArrow", "FlatMapCoGroupsInPandas", "BatchEvalPython"):
+    for op in ("MapInPandas", "MapInArrow", "FlatMapCoGroupsInPandas", "FlatMapCoGroupsInArrow", "BatchEvalPython"):
         assert op not in plan
