@@ -48,9 +48,10 @@ REP_PIP = 256    # python-kernel refine path (Arrow boundary included)
 REP_RECTS = 64   # pure-JVM whole-stage-codegen fast path
 REP_PROX = 1024  # pure-JVM distance fast path
 REP_CG = 16      # non-broadcast shuffle paths (JVM shuffle join / cogroup)
-REP_CGPIP = 192  # non-broadcast PIP through cogroup (geometry refine needed;
+REP_CGPIP = 320  # non-broadcast PIP through cogroup (geometry refine needed;
                  # sized so the job is long enough to amortize fixed stage
-                 # costs — shorter runs made the row a noise thermometer)
+                 # costs — shorter runs made the row a noise thermometer;
+                 # re-sized r4 after the Arrow-native refine sped the row up)
 
 
 def _burn(_):
@@ -270,6 +271,10 @@ def main() -> None:
         "   WORSE than the engine's full join (0.55 vs 0.63 measured) — the",
         "   residual gap is the one shared memory socket, which a real",
         "   4N-executor cluster multiplies by 4 instead of sharing.",
+        "   BENCH/COGROUP.md does the same decomposition for the cogroup row",
+        "   (event-log task metrics + in-worker fn timing + a Spark-free",
+        "   kernel ceiling): its per-core throughput drops 2.3x when the",
+        "   full socket is busy — a single-machine artifact.",
         "Raw numbers stay on the books below; nothing is adjusted silently.",
         "",
         f"Generated by `bench/scaling.py` on {time.strftime('%Y-%m-%d %H:%M:%SZ', time.gmtime())};",

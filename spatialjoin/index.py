@@ -252,6 +252,26 @@ def _refine_input_cols(bc, extra, point_probe: bool = False):
     return out
 
 
+def _rect_batch(x0, y0, x1, y1):
+    """GeomBatch of N rects straight from four bbox arrays (no coords
+    arrays ever materialized)."""
+    from .geom import RECT
+
+    n = len(x0)
+    xs = np.empty(2 * n)
+    xs[0::2] = x0
+    xs[1::2] = x1
+    ys = np.empty(2 * n)
+    ys[0::2] = y0
+    ys[1::2] = y1
+    return GeomBatch(
+        np.full(n, RECT, dtype=np.int8),
+        np.arange(0, 2 * n + 1, 2, dtype=np.int64),
+        xs, ys,
+        np.zeros(n, dtype=np.int32), np.zeros(0, dtype=np.int64),
+    )
+
+
 def _point_batch(px, py):
     n = len(px)
     xs = np.asarray(px, dtype=np.float64)
@@ -581,13 +601,14 @@ class SpatialIndex:
         b = with_cells_at_level(b, "b", self.grid, F.col("__lvl"), keep_cxy=True)
         return b.drop("__lvl")
 
-    def _probe_cells(self, big_df: DataFrame, validate: bool) -> DataFrame:
+    def _probe_cells(self, big_df: DataFrame, validate: bool,
+                     point_probe: bool = False) -> DataFrame:
         """Probe-side covering across all index levels (cold + fine)."""
         if validate:
             validate_geoms(big_df)
         b = _prefixed(big_df, "b", "big_id")
         b = ensure_parallelism(b)
-        b = with_bbox(b, "b", buffer=0.0)
+        b = with_bbox(b, "b", buffer=0.0, points=point_probe)
         if self.levels is not None:
             return self._probe_cells_ml(b)
         b = with_cells(b, "b", self.grid, self.resolution, keep_cxy=True)
@@ -599,7 +620,8 @@ class SpatialIndex:
         return b_cold.unionByName(b_fine)
 
     def _cogroup_refine(self, big_df: DataFrame, validate: bool, op: str,
-                        how: str | None = None, with_geos: bool = False) -> DataFrame:
+                        how: str | None = None, with_geos: bool = False,
+                        big_kinds=None) -> DataFrame:
         """Shuffle-side execution for non-broadcastable indexes: cogroup
         both sides by cell and, per cell group, bulk-load a packed
         STRtree over the small side's (buffered) bboxes, probe with the
@@ -627,17 +649,62 @@ class SpatialIndex:
         pandas block construction, no per-row list boxing, on either
         side of the boundary (measured ~2x the per-group throughput of
         the former applyInPandas body; it is the shared-allocator
-        pandas work that scaled worst with executor count)."""
+        pandas work that scaled worst with executor count).
+
+        BYTES are the cogroup's scaling currency (event-log profiling:
+        the cogroup stage's per-task time inflates ~3x when every core
+        is busy — bandwidth contention, not compute). Point/rect-only
+        probe sides therefore ship SLIM rows: two (point) or four
+        (rect) scalar doubles instead of kind + coords array + rings
+        array + four bbox doubles; the group fn reconstructs the
+        GeomBatch from the scalars. The small side always prunes to the
+        columns the fn reads (the stored s_px/s_py scalars in
+        particular never cross)."""
+        from .geom import POINT as KP, RECT as KR
         from .strtree import STRtree
 
-        b = self._probe_cells(big_df, validate)
+        slim = None
+        if not with_geos and big_kinds is not None:
+            bk = set(big_kinds)
+            if bk == {KP}:
+                slim = "point"
+            elif bk == {KR}:
+                slim = "rect"
+        b = self._probe_cells(big_df, validate, point_probe=slim == "point")
         small = self.small_cells
         if self.small_fine is not None:
             small = small.unionByName(self.small_fine)
+        if slim == "point":
+            # probe bbox is unbuffered: b_xmin/b_ymin ARE the point
+            # coordinates bit-exactly, and Catalyst prunes b_coords
+            # from the probe scan entirely
+            b = b.select("cell", "big_id",
+                         F.col("b_xmin").alias("bx"), F.col("b_ymin").alias("by"))
+        elif slim == "rect":
+            b = b.select("cell", "big_id", "b_xmin", "b_ymin", "b_xmax", "b_ymax")
+        else:
+            b = b.select("cell", "big_id", "b_kind", "b_coords", "b_rings",
+                         "b_xmin", "b_ymin", "b_xmax", "b_ymax")
+        small = small.select("cell", "small_id", "s_kind", "s_coords", "s_rings",
+                             "s_xmin", "s_ymin", "s_xmax", "s_ymax")
         spark = small.sparkSession
         n_groups = self._n_cells()
         par = spark.sparkContext.defaultParallelism
-        salt = int(min(64, max(1, -(-4 * par // max(n_groups, 1)))))
+        # salt to reach max(4 x cores, 256) groups. The 256 floor makes
+        # the policy SCALE-INVARIANT across nearby cluster sizes (an
+        # N-core and a 4N-core cluster run the identical plan — measured:
+        # a coarse 16-cell grid salted to 4x cores gave the small level
+        # a better-balanced config than the large one and misread as a
+        # scaling loss), and finer salting is near-free: the replicated
+        # small side is cells x salt rows of bboxes+geometry, while the
+        # balance win applies to the whole probe side. Huge clusters
+        # (4*par > 256) still salt up to their core count.
+        target_groups = max(4 * par, 256)
+        salt = int(min(64, max(1, -(-target_groups // max(n_groups, 1)))))
+        import os as _os
+
+        if _os.environ.get("SPARK_GRAFT_COGROUP_SALT"):
+            salt = int(_os.environ["SPARK_GRAFT_COGROUP_SALT"])
         if salt > 1:
             b = b.withColumn(
                 "__salt", F.pmod(F.xxhash64("big_id"), F.lit(salt)).cast("int")
@@ -681,13 +748,30 @@ class SpatialIndex:
             sy0 = stab.column("s_ymin").to_numpy()
             sx1 = stab.column("s_xmax").to_numpy()
             sy1 = stab.column("s_ymax").to_numpy()
-            bx0 = btab.column("b_xmin").to_numpy()
-            by0 = btab.column("b_ymin").to_numpy()
-            tree = STRtree(sx0, sy0, sx1, sy1)
-            qi, ti = tree.query_pairs(
-                bx0, by0,
-                btab.column("b_xmax").to_numpy(), btab.column("b_ymax").to_numpy(),
-            )
+            if slim == "point":
+                bx0 = btab.column("bx").to_numpy()
+                by0 = btab.column("by").to_numpy()
+                bx1, by1 = bx0, by0
+            else:
+                bx0 = btab.column("b_xmin").to_numpy()
+                by0 = btab.column("b_ymin").to_numpy()
+                bx1 = btab.column("b_xmax").to_numpy()
+                by1 = btab.column("b_ymax").to_numpy()
+            # candidate bbox pairs: small groups skip the STRtree — a
+            # dense vectorized overlap mask is faster than tree descent
+            # below ~8M cells (profiled: query_pairs was ~36% of group
+            # time at typical 130-box groups) and allocates less
+            if len(sx0) * len(bx0) <= 8_000_000:
+                m0 = (
+                    (bx1[:, None] >= sx0) & (bx0[:, None] <= sx1)
+                    & (by1[:, None] >= sy0) & (by0[:, None] <= sy1)
+                )
+                qi, ti = np.nonzero(m0)
+                qi = qi.astype(np.int64, copy=False)
+                ti = ti.astype(np.int64, copy=False)
+            else:
+                tree = STRtree(sx0, sy0, sx1, sy1)
+                qi, ti = tree.query_pairs(bx0, by0, bx1, by1)
             if len(qi) == 0:
                 return empty
             # reference-point dedup at this cell's resolution
@@ -703,10 +787,15 @@ class SpatialIndex:
                 stab.column("s_kind").to_numpy(),
                 stab.column("s_coords"), stab.column("s_rings"),
             )
-            B = GeomBatch.from_arrow(
-                btab.column("b_kind").to_numpy(),
-                btab.column("b_coords"), btab.column("b_rings"),
-            )
+            if slim == "point":
+                B = _point_batch(bx0, by0)
+            elif slim == "rect":
+                B = _rect_batch(bx0, by0, bx1, by1)
+            else:
+                B = GeomBatch.from_arrow(
+                    btab.column("b_kind").to_numpy(),
+                    btab.column("b_coords"), btab.column("b_rings"),
+                )
             big_ids = btab.column("big_id").to_numpy()
             small_ids = stab.column("small_id").to_numpy()
             if op == "prox":
@@ -899,7 +988,8 @@ class SpatialIndex:
             )
             if not sql_shuffle:
                 return self._cogroup_refine(big_df, validate, "join", how=how,
-                                            with_geos=with_geos)
+                                            with_geos=with_geos,
+                                            big_kinds=big_kinds)
         from .geom import POINT as _KP
 
         cand = self._candidates(
@@ -996,7 +1086,8 @@ class SpatialIndex:
             )
         if strategy == "cogroup" or (strategy == "auto" and not self.broadcast_small):
             return self._cogroup_refine(big_df, validate, "prox",
-                                        with_geos=with_geos)
+                                        with_geos=with_geos,
+                                        big_kinds=big_kinds)
         cand = self._candidates(
             big_df, validate,
             point_probe=big_kinds is not None and set(big_kinds) == {KP},

@@ -341,6 +341,20 @@ def q_rects_intersect_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             big_kinds={4}, strategy="cogroup")
 
 
+def q_pip_quad_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PIP join through the NON-broadcast cogroup strategy with the
+    SLIM point-probe exchange (r4): probe rows cross the shuffle as two
+    scalar doubles — no geometry arrays — and the group fn rebuilds the
+    point batch from the scalars. This is the 100 TB production plan
+    for point-probe workloads whose index outgrows the broadcast
+    budget; shares q_pip_quad_contains's oracle."""
+    quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, quads, validate=False, broadcast=False)
+    return idx.spatial_join(pts, how="contains", validate=False,
+                            big_kinds={0}, strategy="cogroup")
+
+
 def q_rects_intersect_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME rect-rect join on a NON-broadcast index with strategy
     auto: the planner routes rect/point workloads to the pure-JVM
@@ -1033,6 +1047,7 @@ FROM a JOIN b
 
     return {
         "pip_quad_contains": _oracle_pip_quads(small_within_big=False),
+        "pip_quad_cogroup": _oracle_pip_quads(small_within_big=False),
         "points_within_quads": _oracle_pip_quads(small_within_big=True),
         "donut_quads_contain_points": _oracle_donut_quads(),
         "wkt_quads_contain_points": _oracle_wkt_quads(),
@@ -1073,6 +1088,8 @@ FROM a JOIN b
         "rects_intersect_shuffle": rects_sql,
         "mixed_prox_points": _oracle_mixed_prox(),
         "wkt_dead_letter": _oracle_wkt_dead_letter(),
+        "geo_storage_roundtrip": _oracle_geo_storage(),
+        "events_rollup_cube": _oracle_events_cube(),
         "prox_points": f"""
 WITH sup AS (SELECT s_suppkey, {px_s} AS px, {py_s} AS py FROM supplier),
 cst AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer)
@@ -1254,6 +1271,100 @@ FROM cells GROUP BY 1, 2, 3, 4
 """.strip()
 
 
+def q_geo_storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORAGE layer end-to-end: part rects written as a cell-prefix
+    PARTITIONED + z-order CLUSTERED parquet table (catalog.py — the
+    Iceberg-shaped layout), then read back EXTENT-RESTRICTED: the
+    cell_p predicate prunes partition directories at planning time.
+    Output (id, cell_p) for the extent window; the oracle re-derives
+    cell_p and the pruned-cell window from the keys. The bbox center is
+    ((px-ra)+(px+ra))/2e0 — written EXACTLY so in the oracle, since it
+    is not bit-identical to px."""
+    import tempfile
+
+    from .catalog import read_geo_extent, write_geo_table_clustered
+    from .grid import Grid
+
+    grid = Grid(TILE_EXTENT)
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    path = tempfile.mkdtemp(prefix="geo_tbl_")
+    write_geo_table_clustered(rects, path, grid)
+    out = read_geo_extent(spark, path, grid, (-4.0, -4.0, 4.0, 4.0))
+    return out.select("id", F.col("cell_p").cast("long").alias("cell_p"))
+
+
+def _oracle_geo_storage() -> str:
+    px, py = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra, rb = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    # mirror catalog constants: PARTITION_RES=3 over TILE_EXTENT
+    # (-16..16): n=8, cell 4.0; extent window (-4,-4,4,4) -> cx,cy in
+    # [3, 5] (int((4+16)/4) = 5 — the window edge sits ON a cell
+    # boundary; same truncation read_geo_extent computes)
+    return f"""
+WITH c AS (SELECT p_partkey,
+                  ((({px}) - ({ra})) + (({px}) + ({ra}))) / 2e0 AS cx0,
+                  ((({py}) - ({rb})) + (({py}) + ({rb}))) / 2e0 AS cy0
+           FROM part),
+cells AS (SELECT p_partkey,
+                 greatest(0, least(7, CAST(floor((cx0 - (-16e0)) / 4e0) AS BIGINT))) AS cx,
+                 greatest(0, least(7, CAST(floor((cy0 - (-16e0)) / 4e0) AS BIGINT))) AS cy
+          FROM c)
+SELECT p_partkey AS id, (cx * 536870912 + cy) AS cell_p
+FROM cells
+WHERE cx BETWEEN 3 AND 5 AND cy BETWEEN 3 AND 5
+""".strip()
+
+
+def q_events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING-SETS coverage (checklist: grouping sets/rollup/cube):
+    the events-per-tile aggregation rolled up over (tx, ty) with a
+    grouping_id column — subtotal rows per tx and a grand total, the
+    OLAP shape tile dashboards aggregate on."""
+    px, py = PX.format(k="event_id"), PY.format(k="event_id")
+    ts_w = (TILE_EXTENT[2] - TILE_EXTENT[0]) / (1 << TILE_ZOOM)
+    x0, y0 = TILE_EXTENT[0], TILE_EXTENT[1]
+    ncell = (1 << TILE_ZOOM) - 1
+    cells = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        f"greatest(0, least({ncell}, CAST(floor((({px}) - ({x0:.17e})) / {ts_w:.17e}) AS BIGINT))) AS tx",
+        f"greatest(0, least({ncell}, CAST(floor((({py}) - ({y0:.17e})) / {ts_w:.17e}) AS BIGINT))) AS ty",
+        "CAST(round(value * 100e0) AS BIGINT) AS cents",
+    )
+    return (
+        cells.rollup("tx", "ty")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        # rolled-up keys -> -1 sentinels: NULL-free output keeps the
+        # oracle row-compare total-orderable (gid still says which
+        # levels were rolled)
+        .select(
+            F.coalesce("tx", F.lit(-1)).alias("tx"),
+            F.coalesce("ty", F.lit(-1)).alias("ty"),
+            "gid", "n_events", "sum_cents",
+        )
+    )
+
+
+def _oracle_events_cube() -> str:
+    px, py = PX.format(k="event_id"), PY.format(k="event_id")
+    ts_w = (TILE_EXTENT[2] - TILE_EXTENT[0]) / (1 << TILE_ZOOM)
+    x0, y0 = TILE_EXTENT[0], TILE_EXTENT[1]
+    ncell = (1 << TILE_ZOOM) - 1
+    return f"""
+WITH cells AS (
+  SELECT greatest(0, least({ncell}, CAST(floor((({px}) - ({x0:.17e})) / {ts_w:.17e}) AS BIGINT))) AS tx,
+         greatest(0, least({ncell}, CAST(floor((({py}) - ({y0:.17e})) / {ts_w:.17e}) AS BIGINT))) AS ty,
+         CAST(round(value * 100e0) AS BIGINT) AS cents
+  FROM events)
+SELECT coalesce(tx, -1) AS tx, coalesce(ty, -1) AS ty,
+       CAST(GROUPING(tx) * 2 + GROUPING(ty) AS BIGINT) AS gid,
+       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM cells GROUP BY ROLLUP (tx, ty)
+""".strip()
+
+
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over a spatial op: customers per zoom-5 tile."""
     pts = _points_df(spark, sf_dir, "customer", "c_custkey")
@@ -1302,6 +1413,7 @@ def q_images_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "pip_quad_contains": q_pip_quad_contains,
+    "pip_quad_cogroup": q_pip_quad_cogroup,
     "points_within_quads": q_points_within_quads,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
@@ -1322,6 +1434,8 @@ QUERIES = {
     "join_with_geos": q_join_with_geos,
     "events_tile_rollup": q_events_tile_rollup,
     "events_stream_rollup": q_events_stream_rollup,
+    "events_rollup_cube": q_events_rollup_cube,
+    "geo_storage_roundtrip": q_geo_storage_roundtrip,
     "lines_prox_points": q_lines_prox_points,
     "prox_with_geos": q_prox_with_geos,
     "knn_points": q_knn_points,
