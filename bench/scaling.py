@@ -334,6 +334,15 @@ def main() -> None:
         )
     md += [
         "",
+        "Per-row caveat: this VM's delivered throughput swings 2x across",
+        "20-30-minute windows — read any row against THIS run's machine",
+        "ceiling above and the session history before calling it a",
+        "regression. The cogroup row's full investigation (controlled",
+        "A/Bs, event-log task metrics, in-worker timing, Spark-free",
+        "kernel ceiling) is in `BENCH/COGROUP.md`.",
+    ]
+    md += [
+        "",
         "## Workload",
         "",
         f"- `pip_quad_x{REP_PIP}`: point-in-polygon join, {REP_PIP}x-replicated customer",
