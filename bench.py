@@ -54,10 +54,13 @@ def cpu_ceiling(cpus: int) -> dict:
 # headline suite: PIP (quad + rect), big rect-rect join (broadcast AND
 # the non-broadcast cogroup production path), proximity, kNN,
 # tile-assign — the north rule's operator set.
-# NOTE: rects_intersect_cogroup joined the suite in round 3, so
-# suite_wall is not comparable to rounds 1-2; per-query times are.
+# NOTE: rects_intersect_cogroup joined the suite in round 3 and
+# pip_quad_cogroup (the slim point-probe cogroup exchange) in round 4,
+# so suite_wall is not comparable across those rounds; per-query times
+# are, drift-adjusted by the ceiling field.
 BENCH_QUERIES = [
     "pip_quad_contains",
+    "pip_quad_cogroup",
     "pip_rect_contains",
     "rects_intersect",
     "rects_intersect_cogroup",
