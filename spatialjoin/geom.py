@@ -254,6 +254,13 @@ class GeomBatch:
                     parts.append(ro + offs[i])
                 ring_starts = np.concatenate(parts)
             else:
+                # non-polygon rows may carry a (contract-violating)
+                # non-empty rings array; from_columns ignores rings on
+                # those rows — mask to polygon rows before the repeat so
+                # hole checks (ring_counts[i] > 1) can't flip on them
+                if not poly.all():
+                    rvals = rvals[np.repeat(poly, counts)]
+                    counts = np.where(poly, counts, 0)
                 ring_counts = counts.astype(np.int32)
                 ring_starts = rvals + np.repeat(offs[:-1], counts)
         return GeomBatch(kind, offs, xs, ys, ring_counts, ring_starts)

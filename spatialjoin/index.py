@@ -703,8 +703,17 @@ class SpatialIndex:
         salt = int(min(64, max(1, -(-target_groups // max(n_groups, 1)))))
         import os as _os
 
-        if _os.environ.get("SPARK_GRAFT_COGROUP_SALT"):
-            salt = int(_os.environ["SPARK_GRAFT_COGROUP_SALT"])
+        _salt_ov = _os.environ.get("SPARK_GRAFT_COGROUP_SALT")
+        if _salt_ov:
+            try:
+                # same [1, 64] clamp as the auto value: an unclamped
+                # override would replicate the small side 'salt' times
+                salt = min(64, max(1, int(_salt_ov)))
+            except ValueError:
+                raise ValueError(
+                    "SPARK_GRAFT_COGROUP_SALT must be an integer, got "
+                    f"{_salt_ov!r}"
+                ) from None
         if salt > 1:
             b = b.withColumn(
                 "__salt", F.pmod(F.xxhash64("big_id"), F.lit(salt)).cast("int")

@@ -25,6 +25,8 @@ rows, fewer otherwise). Deterministic regardless of parallelism.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -42,6 +44,8 @@ from .index import (
     with_bbox,
     with_cells,
 )
+
+_WARNED_CKPT_CLEANUP: list = []  # once-per-process reliable-ckpt warning
 
 
 def _ring_expand(df: DataFrame, r: int, n: int, res: int) -> DataFrame:
@@ -112,6 +116,12 @@ def _auto_initial_ring(idx: SpatialIndex, k: int) -> int:
     # ring r scans (2r+1)^2 cells at density n_small / 4^res. The row
     # count comes from the build stats job (no extra driver actions on
     # the query path); direct-constructed indexes fall back to a count.
+    # INTENTIONAL (r4): density uses the GEOMETRY-row count, not the
+    # per-cell covering-row count used before the build-stats change —
+    # for small sides whose geometries span multiple cells this
+    # underestimates density and sizes ring 0 slightly larger (extra
+    # round-0 candidates, one fewer expansion round); results are
+    # identical either way since ring expansion converges.
     n_cells = float(4 ** idx.resolution)
     n_small = idx.n_small_rows
     if n_small is None:
@@ -359,10 +369,11 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
     # per-round cache (the round topk/pending frames otherwise accumulate
     # in executor storage for the session lifetime on multi-round
     # workloads). Checkpoint rather than persist: it truncates lineage
-    # (so unpersisting the round caches can't trigger recompute) AND its
-    # blocks are released by the ContextCleaner when the returned frame
-    # is garbage-collected — a plain DataFrame persist would pin storage
-    # until an explicit unpersist the caller never sees.
+    # (so unpersisting the round caches can't trigger recompute), and a
+    # LOCAL checkpoint's blocks are released by the ContextCleaner when
+    # the returned frame is garbage-collected — a plain DataFrame
+    # persist would pin storage until an explicit unpersist the caller
+    # never sees.
     #
     # FAULT TOLERANCE: localCheckpoint blocks are executor-LOCAL and
     # unreplicated — on a multi-executor cluster, losing any executor
@@ -372,7 +383,27 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
     # (spark.sparkContext.setCheckpointDir on HDFS/S3 — standard on
     # long-lived clusters), use a reliable checkpoint instead: same
     # lineage truncation, but blocks survive executor loss.
+    #
+    # CLEANUP CAVEAT: unlike localCheckpoint, RELIABLE checkpoint files
+    # are NOT removed when the frame is garbage-collected unless
+    # spark.cleaner.referenceTracking.cleanCheckpoints=true (default
+    # false) — repeated knn_join calls on a long-lived session would
+    # otherwise accumulate full result copies under the checkpoint dir.
+    # Warn once so operators either enable that conf or clean the dir.
     if spark.sparkContext.getCheckpointDir() is not None:
+        clean = spark.conf.get(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+        )
+        if str(clean).lower() != "true" and not _WARNED_CKPT_CLEANUP:
+            _WARNED_CKPT_CLEANUP.append(True)
+            warnings.warn(
+                "knn_join: a reliable checkpoint dir is configured but "
+                "spark.cleaner.referenceTracking.cleanCheckpoints is "
+                "false — checkpointed results accumulate there until "
+                "the dir is cleaned externally. Set the conf to true "
+                "to have Spark delete them on GC.",
+                RuntimeWarning,
+            )
         out = out.checkpoint(eager=True)
     else:
         out = out.localCheckpoint(eager=True)

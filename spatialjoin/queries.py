@@ -1188,6 +1188,7 @@ WHERE NOT EXISTS (
 
 
 _STREAM_SEQ = [0]
+_GEO_TBL_DIR: list = []  # stable storage-roundtrip staging dir (atexit-cleaned)
 
 
 def q_events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1280,6 +1281,8 @@ def q_geo_storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_p and the pruned-cell window from the keys. The bbox center is
     ((px-ra)+(px+ra))/2e0 — written EXACTLY so in the oracle, since it
     is not bit-identical to px."""
+    import atexit
+    import shutil
     import tempfile
 
     from .catalog import read_geo_extent, write_geo_table_clustered
@@ -1287,8 +1290,17 @@ def q_geo_storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     grid = Grid(TILE_EXTENT)
     rects = _rects_df(spark, sf_dir, "part", "p_partkey")
-    path = tempfile.mkdtemp(prefix="geo_tbl_")
-    write_geo_table_clustered(rects, path, grid)
+    # stable per-process staging dir: repeated invocations (bench runs
+    # each query 3x) overwrite in place instead of leaking a fresh
+    # parquet copy of the rects each time; atexit removes the one copy.
+    # (rmtree-on-return would break the returned DataFrame — it reads
+    # the written table lazily.)
+    if not _GEO_TBL_DIR:
+        d = tempfile.mkdtemp(prefix="geo_tbl_")
+        _GEO_TBL_DIR.append(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    path = _GEO_TBL_DIR[0]
+    write_geo_table_clustered(rects, path, grid, mode="overwrite")
     out = read_geo_extent(spark, path, grid, (-4.0, -4.0, 4.0, 4.0))
     return out.select("id", F.col("cell_p").cast("long").alias("cell_p"))
 

@@ -521,3 +521,34 @@ def test_geombatch_from_arrow_matches_from_columns():
     )
     for f in ("kind", "offs", "xs", "ys", "ring_counts", "ring_starts"):
         assert (getattr(s, f) == getattr(s2, f)).all(), f
+
+
+def test_geombatch_from_arrow_ignores_rings_on_non_polygons():
+    """Contract-violating input: a NON-polygon row carrying a non-empty
+    rings array. from_columns ignores rings on non-polygon rows; the
+    vectorized from_arrow branch must mask identically, or hole checks
+    (ring_counts[i] > 1) flip on the bad row (ADVICE r4)."""
+    import pyarrow as pa
+
+    from spatialjoin.geom import GeomBatch
+
+    kinds = [1, 3, 0]  # LINE carrying rings, polygon, point carrying rings
+    coords = [
+        [0.0, 0.0, 3.0, 4.0],
+        [0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0, 0.0, 0.0],
+        [1.0, 2.0],
+    ]
+    rings = [[0, 1], [0], [0, 1, 2]]  # only row 1's rings are legitimate
+    a = GeomBatch.from_arrow(
+        np.asarray(kinds, dtype=np.int8),
+        pa.array(coords, type=pa.list_(pa.float64())),
+        pa.array(rings, type=pa.list_(pa.int32())),
+    )
+    b = GeomBatch.from_columns(
+        np.asarray(kinds, dtype=np.int8),
+        [np.asarray(c) for c in coords],
+        [rings[0], rings[1], rings[2]],
+    )
+    assert (a.ring_counts == np.array([0, 1, 0], dtype=np.int32)).all()
+    for f in ("kind", "offs", "xs", "ys", "ring_counts", "ring_starts"):
+        assert (getattr(a, f) == getattr(b, f)).all(), f
