@@ -61,6 +61,7 @@ def cpu_ceiling(cpus: int) -> dict:
 BENCH_QUERIES = [
     "pip_quad_contains",
     "pip_quad_cogroup",
+    "pip_quad_pairs",
     "pip_rect_contains",
     "rects_intersect",
     "rects_intersect_cogroup",
@@ -68,6 +69,9 @@ BENCH_QUERIES = [
     "knn_points",
     "tile_assign",
 ]
+# pip_quad_pairs joined in round 5 (the shuffle-pairs auto route that
+# replaced cogroup for non-broadcast slim probes) — exclude it from
+# suite_wall comparisons against rounds <= 4.
 
 
 def main() -> None:
@@ -90,18 +94,34 @@ def main() -> None:
         rows: dict[str, int] = {}
         total = 0.0
         total_rows = 0
+        cold: dict[str, float] = {}
         for name in BENCH_QUERIES:
             fn = Q.QUERIES[name]
             best = None
-            for _ in range(max(repeat, 1)):
+            for i in range(max(repeat, 1)):
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
+                if i == 0:
+                    cold[name] = dt
                 best = dt if best is None else min(best, dt)
             per_query[name] = round(best, 4)
             rows[name] = n
             total += best
             total_rows += n
+        # kNN cold-vs-warm (round-4 ask): the first sf0.1 run after the
+        # tiny-scale warmup carries the per-round fixed driver cost
+        # (ring-loop scheduling, broadcast re-gather); warm = best-of-N.
+        # The ratio is the number a multi-tenant deployment feels on its
+        # FIRST knn call of a session.
+        knn_cold_warm = {
+            "knn_cold_sec": round(cold.get("knn_points", 0.0), 4),
+            "knn_warm_sec": per_query.get("knn_points"),
+            "knn_cold_warm_ratio": (
+                round(cold["knn_points"] / per_query["knn_points"], 3)
+                if per_query.get("knn_points") else None
+            ),
+        }
         # recall@10 of the sublinear ANN paths vs brute force — the
         # correctness-at-scale signal for the approximate variants
         from spatialjoin.ann import q_ann_ivf, q_ann_lsh, q_ann_topk
@@ -138,6 +158,7 @@ def main() -> None:
                     "cpus": cpus,
                     "repeat": repeat,
                     "ceiling": ceiling,
+                    **knn_cold_warm,
                     **recalls,
                 }
             )

@@ -144,10 +144,18 @@ def worker(cpus: int) -> None:
          lambda: idx_cg.spatial_join(cg_probe, how="intersects",
                                      validate=False, big_kinds={4})),
         # polygons need the kernels: the genuine cogroup workload
+        # (with_geos / general-geometry probes still route here)
         ("cogroup_pip_x%d" % REP_CGPIP,
          lambda: idx_cgq.spatial_join(cgpip_probe, how="contains",
                                       validate=False, big_kinds={0},
                                       strategy="cogroup")),
+        # r5 AUTO route for the same workload: JVM shuffle equi-join on
+        # cell carrying the quad geometry per candidate pair + ONE
+        # contiguous mapInArrow refine (shuffle-pairs) — replaces
+        # cogroup as the non-broadcast slim-probe production plan
+        ("pairs_pip_x%d" % REP_CGPIP,
+         lambda: idx_cgq.spatial_join(cgpip_probe, how="contains",
+                                      validate=False, big_kinds={0})),
     ]
     # warmup pass (JIT + python workers), untimed
     for _, fn in jobs:
@@ -190,6 +198,24 @@ def main() -> None:
         return
     n, n4 = 8, 32
     ceiling = machine_ceiling(n, n4)
+    # CLEAN-WINDOW GUARD: this VM has 20-30-minute windows where noisy
+    # neighbors halve delivered throughput (ceiling 0.74 vs 0.88 on the
+    # same silicon). A bar run recorded inside such a window measures
+    # the neighbors, not the engine (round 4 recorded raw 0.555 in one).
+    # Refuse to record unless the machine's own pure-CPU ceiling reads
+    # >= 0.85, i.e. the window is clean; --force records anyway with a
+    # degraded flag so exploratory runs stay possible.
+    min_ceiling = float(os.environ.get("SPARK_GRAFT_MIN_CEILING", "0.85"))
+    degraded = ceiling / (n4 // n) < min_ceiling
+    if degraded and "--force" not in sys.argv:
+        print(json.dumps({
+            "error": "degraded_window",
+            "machine_parallel_ceiling": round(ceiling / (n4 // n), 4),
+            "min_ceiling": min_ceiling,
+            "hint": "re-run when the ceiling probe reads >= 0.85, or pass "
+                    "--force to record with a degraded flag",
+        }))
+        sys.exit(3)
     # interleaved trials (3 JVMs per level), best per query per level —
     # the VM has noisy-neighbor variance; best-of-N is the standard
     # noise floor for throughput benchmarks
@@ -204,7 +230,7 @@ def main() -> None:
     # headline = the fixed 3-query composition rounds are compared on;
     # the non-broadcast shuffle rows are reported separately + all-N
     headline = [q for q in best_n
-                if not q.startswith(("cogroup", "shuffle"))]
+                if not q.startswith(("cogroup", "shuffle", "pairs"))]
     t_n = sum(best_n[q] for q in headline)
     t_n4 = sum(best_n4[q] for q in headline)
     eff = (t_n / t_n4) / (n4 / n)
@@ -233,6 +259,7 @@ def main() -> None:
             "ceiling": round(ceiling / (n4 // n), 4),
             "normalized": round(eff / (ceiling / (n4 // n)), 4),
             "raw_all": round(eff_all, 4),
+            "degraded": degraded,
             "queries_small": best_n, "queries_large": best_n4,
         }) + "\n")
     # session distribution from the history log (this run included):
@@ -356,11 +383,17 @@ def main() -> None:
         f"- `shuffle_rects_x{REP_CG}`: NON-BROADCAST rect join, auto strategy —",
         "  pure-JVM shuffle equi-join on cell + SQL refine (no Python operator;",
         "  the round-3 planner change routes rect/point workloads here).",
-        f"- `cogroup_pip_x{REP_CGPIP}`: NON-BROADCAST point-in-polygon — both sides",
-        "  shuffle on cell, per-cell STRtree + vectorized kernel refine inside",
-        "  one FlatMapCoGroupsInArrow (the genuine cogroup workload; reported",
-        "  separately from the fixed 3-query headline so round-over-round",
-        "  comparisons stay like-for-like).",
+        f"- `cogroup_pip_x{REP_CGPIP}`: NON-BROADCAST point-in-polygon FORCED through",
+        "  cogroup — both sides shuffle on cell, per-cell STRtree + vectorized",
+        "  kernel refine inside one FlatMapCoGroupsInArrow (still the route for",
+        "  with_geos / general-geometry probes; reported separately from the",
+        "  fixed 3-query headline so round-over-round comparisons stay",
+        "  like-for-like).",
+        f"- `pairs_pip_x{REP_CGPIP}`: the SAME workload on the r5 AUTO route —",
+        "  pure-JVM shuffle equi-join on cell carrying the quad geometry per",
+        "  candidate pair, then ONE contiguous mapInArrow kernel refine",
+        "  (shuffle-pairs; the non-broadcast slim-probe production plan as of",
+        "  r5 — no per-group sort, no dual grouped Arrow streams).",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("\n".join(md) + "\n")

@@ -223,13 +223,17 @@ def _build_batches(pdf):
     return A, B
 
 
-def _refine_input_cols(bc, extra, point_probe: bool = False):
+def _refine_input_cols(bc, extra, point_probe: bool = False,
+                       slim: str | None = None):
     """Only the columns the refine kernel reads cross the (expensive)
     row->Arrow boundary: ids + probe geometry (+ carried small geometry
     when there is no broadcast; + with_geos passthroughs). All-point
     probes decompose to two scalar doubles — cheaper through the Arrow
-    writer than a 2-element array."""
-    if point_probe:
+    writer than a 2-element array; all-rect probes to the four bbox
+    doubles (the bbox IS the rect bit-exactly at buffer zero)."""
+    if slim is None and point_probe:
+        slim = "point"
+    if slim == "point":
         # probe bbox is unbuffered, so b_xmin/b_ymin ARE the point
         # coordinates bit-exactly (x - 0.0 == x) — using them lets
         # Catalyst prune the b_coords array from the probe scan
@@ -238,6 +242,8 @@ def _refine_input_cols(bc, extra, point_probe: bool = False):
             F.col("b_xmin").alias("bx"),
             F.col("b_ymin").alias("by"),
         ]
+    elif slim == "rect":
+        cols = ["big_id", "small_id", "b_xmin", "b_ymin", "b_xmax", "b_ymax"]
     else:
         cols = ["big_id", "small_id", "b_kind", "b_coords", "b_rings"]
     if bc is None:
@@ -286,12 +292,29 @@ def _point_batch(px, py):
     )
 
 
-def _arrow_point_refine(bc, mode, how=None, max_d=None):
-    """mapInArrow refine for POINT probes with a broadcast small side:
-    primitive columns cross the boundary as raw Arrow buffers with no
-    pandas materialization on either side (measured: the pandas
-    conversion is a large share of the exchange cost and scales worse
-    than the buffers themselves)."""
+def _slim_probe_batch(col, slim):
+    """Rebuild the probe GeomBatch from slim scalar columns: two doubles
+    for points, the four bbox doubles for rects (bit-exact at buffer
+    zero — no coords array ever crosses the boundary)."""
+    if slim == "point":
+        return _point_batch(
+            col["bx"].to_numpy(zero_copy_only=False),
+            col["by"].to_numpy(zero_copy_only=False),
+        )
+    return _rect_batch(
+        col["b_xmin"].to_numpy(zero_copy_only=False),
+        col["b_ymin"].to_numpy(zero_copy_only=False),
+        col["b_xmax"].to_numpy(zero_copy_only=False),
+        col["b_ymax"].to_numpy(zero_copy_only=False),
+    )
+
+
+def _arrow_point_refine(bc, mode, how=None, max_d=None, slim="point"):
+    """mapInArrow refine for slim (point/rect) probes with a broadcast
+    small side: primitive columns cross the boundary as raw Arrow
+    buffers with no pandas materialization on either side (measured:
+    the pandas conversion is a large share of the exchange cost and
+    scales worse than the buffers themselves)."""
 
     def fn(it):
         import pyarrow as pa
@@ -304,10 +327,7 @@ def _arrow_point_refine(bc, mode, how=None, max_d=None):
             col = {nm: batch.column(i) for i, nm in enumerate(batch.schema.names)}
             bid = col["big_id"].to_numpy(zero_copy_only=False)
             sid = col["small_id"].to_numpy(zero_copy_only=False)
-            B = _point_batch(
-                col["bx"].to_numpy(zero_copy_only=False),
-                col["by"].to_numpy(zero_copy_only=False),
-            )
+            B = _slim_probe_batch(col, slim)
             ai = np.searchsorted(ids_geo, sid)
             bi = np.arange(n, dtype=np.int64)
             if mode == "join":
@@ -323,6 +343,58 @@ def _arrow_point_refine(bc, mode, how=None, max_d=None):
                 )
             else:
                 d = kernels.distance(A, ai, B, bi)
+                assert np.isfinite(d).all(), "non-finite distance (index.rs:436)"
+                mask = d <= max_d
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(bid[mask]), pa.array(sid[mask]), pa.array(d[mask])],
+                    names=["big_id", "small_id", "distance"],
+                )
+
+    return fn
+
+
+def _arrow_pair_refine(mode, how=None, max_d=None, slim="point"):
+    """mapInArrow refine for slim (point/rect) probes when the small
+    side is NOT broadcast: candidate pairs arrive from a pure-JVM
+    shuffle equi-join on cell CARRYING the small geometry columns per
+    pair, the kernels refine, and only (big_id, small_id[, distance])
+    leave. This replaces the cogroup route for these workloads: the
+    per-pair Arrow bytes grow by the small geometry (~100 B for a
+    quad), but the exchange is ONE contiguous mapInArrow stream — no
+    per-group sort, no dual grouped Arrow streams, no per-group fn
+    invocation, which BENCH/COGROUP.md measured as the machinery whose
+    per-core cost inflates 2.8x when every core is busy. Same
+    N-to-4N shape as the broadcast fast path, which scales."""
+
+    def fn(it):
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = {nm: batch.column(i) for i, nm in enumerate(batch.schema.names)}
+            bid = col["big_id"].to_numpy(zero_copy_only=False)
+            sid = col["small_id"].to_numpy(zero_copy_only=False)
+            B = _slim_probe_batch(col, slim)
+            A = GeomBatch.from_arrow(
+                col["s_kind"].to_numpy(zero_copy_only=False),
+                col["s_coords"], col["s_rings"],
+            )
+            bi = np.arange(n, dtype=np.int64)
+            if mode == "join":
+                if how == "intersects":
+                    mask = kernels.intersects(A, bi, B, bi)
+                elif how == "contains":
+                    mask = kernels.contains(A, bi, B, bi)
+                else:  # within: big contains small (src/index.rs:528-533)
+                    mask = kernels.contains(B, bi, A, bi)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(bid[mask]), pa.array(sid[mask])],
+                    names=["big_id", "small_id"],
+                )
+            else:
+                d = kernels.distance(A, bi, B, bi)
                 assert np.isfinite(d).all(), "non-finite distance (index.rs:436)"
                 mask = d <= max_d
                 yield pa.RecordBatch.from_arrays(
@@ -981,26 +1053,44 @@ class SpatialIndex:
             raise ValueError(f"how must be one of {_HOW}")
         if strategy not in ("auto", "pairs", "cogroup"):
             raise ValueError("strategy must be auto|pairs|cogroup")
+        from .geom import POINT as _KP, RECT as _KR
+
+        slim = None
+        if not with_geos and big_kinds is not None:
+            bk = set(big_kinds)
+            if bk == {_KP}:
+                slim = "point"
+            elif bk == {_KR}:
+                slim = "rect"
         if strategy == "cogroup" or (strategy == "auto" and not self.broadcast_small):
             # rect/point-only workloads refine in pure SQL: the
             # non-broadcast plan is then a plain shuffle equi-join on
             # cell + a JVM predicate — NO geometry crosses the Arrow
             # boundary and no per-group pandas runs, which measures ~2x
-            # faster and scales better than cogroup. Cogroup remains the
-            # path whenever the kernels (or with_geos payloads) are
-            # genuinely needed.
+            # faster and scales better than cogroup.
             sql_shuffle = (
                 strategy == "auto" and not with_geos
                 and self.max_distance == 0.0
                 and self._sql_predicate(how, self._small_kinds(), big_kinds)
                 is not None
             )
-            if not sql_shuffle:
+            # slim (point/rect) probes that DO need the kernels skip
+            # cogroup too: the same shuffle equi-join builds candidate
+            # pairs carrying the small geometry, and ONE contiguous
+            # mapInArrow stream refines them (_arrow_pair_refine) —
+            # cogroup's grouped dual-stream machinery is what scales
+            # worst under a full socket (BENCH/COGROUP.md). Cogroup
+            # remains for general-geometry probes and with_geos (where
+            # per-RESULT-row geometry emission beats per-candidate
+            # replication).
+            shuffle_pairs = (
+                strategy == "auto" and self.max_distance == 0.0
+                and slim is not None
+            )
+            if not (sql_shuffle or shuffle_pairs):
                 return self._cogroup_refine(big_df, validate, "join", how=how,
                                             with_geos=with_geos,
                                             big_kinds=big_kinds)
-        from .geom import POINT as _KP
-
         cand = self._candidates(
             big_df, validate,
             point_probe=big_kinds is not None and set(big_kinds) == {_KP},
@@ -1040,12 +1130,13 @@ class SpatialIndex:
         schema = T.StructType(fields)
         out_cols = ["big_id", "small_id"] + extra
         bc = self.small_geo_bc if not with_geos else None
-        from .geom import POINT as KP
-
-        point_probe = not with_geos and big_kinds is not None and set(big_kinds) == {KP}
-        cand = cand.select(*_refine_input_cols(bc, extra, point_probe))
-        if point_probe and bc is not None:
-            return cand.mapInArrow(_arrow_point_refine(bc, "join", how=how), schema)
+        cand = cand.select(*_refine_input_cols(bc, extra, slim=slim))
+        if slim is not None and bc is not None:
+            return cand.mapInArrow(
+                _arrow_point_refine(bc, "join", how=how, slim=slim), schema)
+        if slim is not None:
+            return cand.mapInArrow(
+                _arrow_pair_refine("join", how=how, slim=slim), schema)
 
         def refine(iterator):
             for pdf in iterator:
@@ -1093,10 +1184,26 @@ class SpatialIndex:
                 .where(F.col("distance") <= F.lit(self.max_distance))
                 .select("big_id", "small_id", "distance")
             )
+        from .geom import RECT as KR
+
+        slim = None
+        if not with_geos and big_kinds is not None:
+            bk = set(big_kinds)
+            if bk == {KP}:
+                slim = "point"
+            elif bk == {KR}:
+                slim = "rect"
         if strategy == "cogroup" or (strategy == "auto" and not self.broadcast_small):
-            return self._cogroup_refine(big_df, validate, "prox",
-                                        with_geos=with_geos,
-                                        big_kinds=big_kinds)
+            # slim probes route through the shuffle-pairs plan instead
+            # of cogroup, exactly as in spatial_join: candidates come
+            # from the JVM shuffle equi-join on cell (stored small
+            # bboxes are buffered by max_distance at build, so bbox
+            # overlap IS the distance prefilter), one mapInArrow
+            # computes exact distances
+            if not (strategy == "auto" and slim is not None):
+                return self._cogroup_refine(big_df, validate, "prox",
+                                            with_geos=with_geos,
+                                            big_kinds=big_kinds)
         cand = self._candidates(
             big_df, validate,
             point_probe=big_kinds is not None and set(big_kinds) == {KP},
@@ -1115,12 +1222,13 @@ class SpatialIndex:
         max_d = self.max_distance
         out_cols = ["big_id", "small_id"] + extra
         bc = self.small_geo_bc if not with_geos else None
-        from .geom import POINT as KP2
-
-        point_probe = not with_geos and big_kinds is not None and set(big_kinds) == {KP2}
-        cand = cand.select(*_refine_input_cols(bc, extra, point_probe))
-        if point_probe and bc is not None:
-            return cand.mapInArrow(_arrow_point_refine(bc, "prox", max_d=max_d), schema)
+        cand = cand.select(*_refine_input_cols(bc, extra, slim=slim))
+        if slim is not None and bc is not None:
+            return cand.mapInArrow(
+                _arrow_point_refine(bc, "prox", max_d=max_d, slim=slim), schema)
+        if slim is not None:
+            return cand.mapInArrow(
+                _arrow_pair_refine("prox", max_d=max_d, slim=slim), schema)
 
         def refine(iterator):
             for pdf in iterator:

@@ -345,14 +345,33 @@ def q_pip_quad_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PIP join through the NON-broadcast cogroup strategy with the
     SLIM point-probe exchange (r4): probe rows cross the shuffle as two
     scalar doubles — no geometry arrays — and the group fn rebuilds the
-    point batch from the scalars. This is the 100 TB production plan
-    for point-probe workloads whose index outgrows the broadcast
-    budget; shares q_pip_quad_contains's oracle."""
+    point batch from the scalars. Since r5 the AUTO route for this
+    workload is the shuffle-pairs plan (q_pip_quad_pairs below);
+    cogroup stays the plan for with_geos and general-geometry probes
+    and remains forceable, oracle-checked here. Shares
+    q_pip_quad_contains's oracle."""
     quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
     pts = _points_df(spark, sf_dir, "customer", "c_custkey")
     idx = SpatialIndex.build(spark, quads, validate=False, broadcast=False)
     return idx.spatial_join(pts, how="contains", validate=False,
                             big_kinds={0}, strategy="cogroup")
+
+
+def q_pip_quad_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PIP join on a NON-broadcast index with strategy AUTO — the
+    r5 shuffle-pairs route (index.py spatial_join shuffle_pairs
+    branch): a pure-JVM shuffle equi-join on cell builds candidate
+    pairs CARRYING the quad geometry per pair, and one contiguous
+    mapInArrow stream refines them with the kernels. Replaces cogroup
+    as the 100 TB production plan for point/rect-probe workloads whose
+    index outgrows the broadcast budget: same Arrow machinery as the
+    broadcast fast path (no per-group sort, no dual grouped streams),
+    which is the shape that scales with executor count
+    (BENCH/COGROUP.md). Shares q_pip_quad_contains's oracle."""
+    quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, quads, validate=False, broadcast=False)
+    return idx.spatial_join(pts, how="contains", validate=False, big_kinds={0})
 
 
 def q_rects_intersect_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,6 +1067,7 @@ FROM a JOIN b
     return {
         "pip_quad_contains": _oracle_pip_quads(small_within_big=False),
         "pip_quad_cogroup": _oracle_pip_quads(small_within_big=False),
+        "pip_quad_pairs": _oracle_pip_quads(small_within_big=False),
         "points_within_quads": _oracle_pip_quads(small_within_big=True),
         "donut_quads_contain_points": _oracle_donut_quads(),
         "wkt_quads_contain_points": _oracle_wkt_quads(),
@@ -1426,6 +1446,7 @@ def q_images_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "pip_quad_contains": q_pip_quad_contains,
     "pip_quad_cogroup": q_pip_quad_cogroup,
+    "pip_quad_pairs": q_pip_quad_pairs,
     "points_within_quads": q_points_within_quads,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,

@@ -210,3 +210,93 @@ def test_nonbroadcast_rect_point_uses_jvm_shuffle_join(spark):
         strategy="cogroup").collect())
     assert a == b and len(a) > 0
     idx.unpersist()
+
+
+def _quad_rows(rng, n):
+    from spatialjoin.geom import POLYGON
+
+    rows = []
+    for _ in range(n):
+        cx, cy = rng.uniform(-6, 6), rng.uniform(-6, 6)
+        h = rng.uniform(0.05, 0.8)
+        rows.append((POLYGON,
+                     [cx - h, cy - h, cx + h, cy - h, cx + h, cy + h,
+                      cx - h, cy + h, cx - h, cy - h], [0]))
+    return rows
+
+
+def test_nonbroadcast_slim_probe_uses_shuffle_pairs(spark):
+    """r5: auto strategy + non-broadcast + slim (point/rect) probes
+    against a kernel-needing small side must pick the shuffle-pairs
+    plan — one MapInArrow over the JVM cell equi-join, NO cogroup —
+    and match the forced cogroup path exactly (joins AND prox)."""
+    from spatialjoin.geom import POLYGON
+
+    rng = random.Random(95)
+    quads = geoms_to_df(spark, _quad_rows(rng, 80))
+    pts = geoms_to_df(spark, [(POINT, [rng.uniform(-7, 7), rng.uniform(-7, 7)])
+                              for _ in range(200)])
+    rects = geoms_to_df(spark, [
+        (RECT, sorted_rect(rng)) for _ in range(150)
+    ])
+
+    idx = SpatialIndex.build(spark, quads, validate=False, broadcast=False)
+    auto = idx.spatial_join(pts, how="contains", validate=False, big_kinds={POINT})
+    plan = auto._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInArrow" not in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "MapInArrow" in plan and "MapInPandas" not in plan
+    a = sorted((r.big_id, r.small_id) for r in auto.collect())
+    b = sorted((r.big_id, r.small_id) for r in idx.spatial_join(
+        pts, how="contains", validate=False, big_kinds={POINT},
+        strategy="cogroup").collect())
+    assert a == b and len(a) > 0
+
+    # slim RECT probes against the polygon small side: same route
+    auto_r = idx.spatial_join(rects, how="intersects", validate=False,
+                              big_kinds={RECT})
+    plan_r = auto_r._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInArrow" not in plan_r
+    assert "MapInArrow" in plan_r and "MapInPandas" not in plan_r
+    ar = sorted((r.big_id, r.small_id) for r in auto_r.collect())
+    br = sorted((r.big_id, r.small_id) for r in idx.spatial_join(
+        rects, how="intersects", validate=False, big_kinds={RECT},
+        strategy="cogroup").collect())
+    assert ar == br and len(ar) > 0
+    idx.unpersist()
+
+    # prox through the same route (buffered bboxes prefilter distance)
+    idxp = SpatialIndex.build(spark, quads, max_distance=0.5,
+                              validate=False, broadcast=False)
+    auto_p = idxp.proximity_map(pts, validate=False, big_kinds={POINT})
+    plan_p = auto_p._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInArrow" not in plan_p
+    assert "MapInArrow" in plan_p
+    pa = sorted((r.big_id, r.small_id, round(r.distance, 12))
+                for r in auto_p.collect())
+    pb = sorted((r.big_id, r.small_id, round(r.distance, 12))
+                for r in idxp.proximity_map(
+                    pts, validate=False, big_kinds={POINT},
+                    strategy="cogroup").collect())
+    assert pa == pb and len(pa) > 0
+    idxp.unpersist()
+
+    # BROADCAST slim rect probes vs polygon small side now refine
+    # through the same Arrow stream (no pandas): equivalence vs cogroup
+    idxb = SpatialIndex.build(spark, quads, validate=False)
+    auto_b = idxb.spatial_join(rects, how="intersects", validate=False,
+                               big_kinds={RECT})
+    plan_b = auto_b._jdf.queryExecution().toString()
+    assert "MapInArrow" in plan_b and "MapInPandas" not in plan_b
+    ab = sorted((r.big_id, r.small_id) for r in auto_b.collect())
+    bb = sorted((r.big_id, r.small_id) for r in idxb.spatial_join(
+        rects, how="intersects", validate=False, big_kinds={RECT},
+        strategy="cogroup").collect())
+    assert ab == bb and len(ab) > 0
+    idxb.unpersist()
+
+
+def sorted_rect(rng):
+    x1, x2 = sorted((rng.uniform(-7, 7), rng.uniform(-7, 7)))
+    y1, y2 = sorted((rng.uniform(-7, 7), rng.uniform(-7, 7)))
+    return [x1, y1, x2, y2]
