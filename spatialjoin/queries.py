@@ -1185,6 +1185,7 @@ SELECT tx, ty, count(*) AS n_customers FROM cells GROUP BY 1, 2
 ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
 """.strip(),
         "images_pipeline": oracle_images_pipeline(),
+        "av_pipeline": _oracle_av_pipeline(),
         "paths_intersect_rects": _oracle_paths_rects(),
         "lines_intersect_rects": _oracle_lines_rects(),
         "tris_contain_points": _oracle_tris_points(),
@@ -1443,6 +1444,84 @@ def q_images_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_av_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO+VIDEO multimodal driver row (round-4 ask #3): synth clip
+    table (multimodal.synth_av_clips — pcm16/ulaw8 audio, rawv/rled
+    video) -> REAL decode through both codec families -> exact integer
+    features: per-clip n_samples / peak / energy over the decoded int16
+    samples, plus frame-sampled (every 2nd) pixel sums over the decoded
+    frames. Every output is an integer function of the row index; the
+    oracle re-derives them in pure SQL, including the G.711 mu-law
+    encode->decode roundtrip as integer CASE/shift arithmetic — no
+    binary crosses into DuckDB (the images_pipeline pattern)."""
+    from .multimodal import audio_int_stats, frame_pixel_sums, sample_frames, synth_av_clips
+
+    av = synth_av_clips(spark, 256).persist()
+    a = audio_int_stats(
+        av.select("clip_id", F.col("audio").alias("bytes"), "codec"))
+    frames = sample_frames(
+        av.selectExpr("CAST(clip_id AS STRING) AS video_id",
+                      "video AS bytes", "vcodec AS codec",
+                      "w", "h", "n_frames"),
+        every=2,
+    )
+    vagg = (
+        frame_pixel_sums(frames)
+        .groupBy("video_id")
+        .agg(F.count(F.lit(1)).alias("v_frames"),
+             F.sum("pix_sum").alias("v_pixsum"))
+        .selectExpr("CAST(video_id AS BIGINT) AS vid", "v_frames", "v_pixsum")
+    )
+    av_meta = av.select("clip_id", "codec")
+    return (
+        a.join(vagg, a.clip_id == vagg.vid)
+        .join(av_meta.withColumnRenamed("clip_id", "mid"),
+              F.col("clip_id") == F.col("mid"))
+        .select("clip_id", "codec", "n_samples", "peak", "energy",
+                "v_frames", "v_pixsum")
+    )
+
+
+def _oracle_av_pipeline(n: int = 256) -> str:
+    # generator constants shared VERBATIM with multimodal.synth_av_clips;
+    # the ulaw branch is the G.711 encode->decode roundtrip of amp as
+    # integer arithmetic (segment by threshold, mantissa by shift) —
+    # multimodal.encode_ulaw8/decode_ulaw8 compute the identical values
+    return f"""
+WITH g AS (
+  SELECT i AS clip_id,
+         (i * 37) % 16384 AS amp,
+         800 + (i % 5) * 160 AS ns,
+         2 + (i % 3) AS nf,
+         CASE WHEN i % 2 = 0 THEN 'pcm16' ELSE 'ulaw8' END AS codec
+  FROM range(0, {n}) t(i)),
+u AS (SELECT *, least(amp, 32635) + 132 AS mag FROM g),
+e AS (
+  SELECT *, CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+                 WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+                 WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+                 WHEN mag < 16384 THEN 6 ELSE 7 END AS seg FROM u),
+p AS (
+  SELECT clip_id, ns, nf, codec,
+         CASE WHEN codec = 'pcm16' THEN amp
+              ELSE ((((mag >> (seg + 3)) & 15) * 8 + 132) << seg) - 132
+         END AS peak FROM e),
+v AS (
+  SELECT g.clip_id,
+         CAST(count(*) AS BIGINT) AS v_frames,
+         CAST(sum(((g.clip_id * 11 + f.j * 29) % 256) * 144) AS BIGINT) AS v_pixsum
+  FROM g, range(0, 16) f(j)
+  WHERE f.j < g.nf AND f.j % 2 = 0
+  GROUP BY g.clip_id)
+SELECT p.clip_id, p.codec,
+       CAST(p.ns AS BIGINT) AS n_samples,
+       CAST(p.peak AS BIGINT) AS peak,
+       CAST(p.ns AS BIGINT) * p.peak * p.peak AS energy,
+       v.v_frames, v.v_pixsum
+FROM p JOIN v ON p.clip_id = v.clip_id
+""".strip()
+
+
 QUERIES = {
     "pip_quad_contains": q_pip_quad_contains,
     "pip_quad_cogroup": q_pip_quad_cogroup,
@@ -1486,5 +1565,6 @@ QUERIES = {
     "top_tiles": q_top_tiles,
     "unmatched_customers": q_unmatched_customers,
     "images_pipeline": q_images_pipeline,
+    "av_pipeline": q_av_pipeline,
     **TEXT_QUERIES,
 }

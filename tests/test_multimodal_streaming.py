@@ -253,3 +253,87 @@ def test_stateful_cell_sketch_matches_batch(spark, tmp_path):
         assert got.sample_size == len(vals)
         assert got.q50 == float(vals[int(0.5 * (len(vals) - 1))])
         assert got.q90 == float(vals[int(0.9 * (len(vals) - 1))])
+
+
+def test_image_features_batched_matches_per_image(spark):
+    """r5 batched decode: the stacked-group path must be BIT-identical
+    to a per-image recompute with the original formulas (mixed shapes
+    and fmts force multiple stacks per batch)."""
+    from spatialjoin.images import phash64
+
+    imgs = synth_images(spark, 40).persist()
+    feats = {r.image_id: r for r in image_features(imgs).collect()}
+    for r in imgs.collect():
+        px = decode(r.bytes, r.fmt, r.w, r.h)
+        f = feats[r.image_id]
+        m = px.mean(axis=(0, 1))
+        assert (f.mean_r, f.mean_g, f.mean_b) == (m[0], m[1], m[2])
+        assert f.std_gray == px.mean(axis=2).std()
+        want_ph = phash64(np.clip(px, 0, 255).astype(np.uint8)) if r.fmt == "raw" \
+            else phash64(np.clip(np.round(px), 0, 255).astype(np.uint8))
+        assert f.phash_check == want_ph
+    imgs.unpersist()
+
+
+def test_audio_int_stats_exact(spark):
+    """Integer stats over decoded int16 samples, pcm16 and ulaw8,
+    including an empty clip and mixed lengths within one batch."""
+    from spatialjoin.multimodal import audio_int_stats
+
+    sig1 = (np.sin(np.linspace(0, 9, 700)) * 12000).astype(np.int16)
+    sig2 = np.array([5, -300, 32, 0], dtype=np.int16)
+    rows = [
+        (0, sig1.astype("<i2").tobytes(), "pcm16"),
+        (1, encode_ulaw8(sig2), "ulaw8"),
+        (2, b"", "pcm16"),
+        (3, sig2.astype("<i2").tobytes(), "pcm16"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, bytes binary, codec string")
+    out = {r.clip_id: r for r in audio_int_stats(df).collect()}
+    s1 = sig1.astype(np.int64)
+    assert (out[0].n_samples, out[0].peak, out[0].energy) == (
+        700, int(np.abs(s1).max()), int((s1 * s1).sum()))
+    rt = decode_ulaw8(encode_ulaw8(sig2)).astype(np.int64)
+    assert (out[1].n_samples, out[1].peak, out[1].energy) == (
+        4, int(np.abs(rt).max()), int((rt * rt).sum()))
+    assert (out[2].n_samples, out[2].peak, out[2].energy) == (0, 0, 0)
+    s2 = sig2.astype(np.int64)
+    assert (out[3].peak, out[3].energy) == (int(np.abs(s2).max()), int((s2 * s2).sum()))
+
+
+def test_synth_av_clips_roundtrip(spark):
+    """The av_pipeline generator: decoded audio peaks match the G.711
+    roundtrip formula and sampled frames decode to the solid fill
+    value, for all four codec combinations (i mod 4)."""
+    from spatialjoin.multimodal import (
+        audio_int_stats, frame_pixel_sums, sample_frames, synth_av_clips,
+    )
+
+    av = synth_av_clips(spark, 8).persist()
+    stats = {r.clip_id: r for r in audio_int_stats(
+        av.selectExpr("clip_id", "audio AS bytes", "codec")).collect()}
+    for i in range(8):
+        amp = (i * 37) % 16384
+        ns = 800 + (i % 5) * 160
+        if i % 2 == 0:
+            peak = amp
+        else:
+            peak = int(decode_ulaw8(encode_ulaw8(
+                np.array([amp], dtype=np.int16)))[0])
+        assert (stats[i].n_samples, stats[i].peak) == (ns, peak)
+        assert stats[i].energy == ns * peak * peak
+    frames = sample_frames(
+        av.selectExpr("CAST(clip_id AS STRING) AS video_id",
+                      "video AS bytes", "vcodec AS codec", "w", "h", "n_frames"),
+        every=2)
+    sums = frame_pixel_sums(frames).collect()
+    for r in sums:
+        i, j = int(r.video_id), r.frame_idx
+        assert j % 2 == 0
+        assert r.pix_sum == ((i * 11 + j * 29) % 256) * 8 * 6 * 3
+    # sampled-frame counts per clip: ceil(nf / 2)
+    from collections import Counter
+    cnt = Counter(int(r.video_id) for r in sums)
+    for i in range(8):
+        assert cnt[i] == (2 + (i % 3) + 1) // 2
+    av.unpersist()
