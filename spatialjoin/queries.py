@@ -1301,7 +1301,13 @@ def q_geo_storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output (id, cell_p) for the extent window; the oracle re-derives
     cell_p and the pruned-cell window from the keys. The bbox center is
     ((px-ra)+(px+ra))/2e0 — written EXACTLY so in the oracle, since it
-    is not bit-identical to px."""
+    is not bit-identical to px.
+
+    Pruning is PROVEN, not assumed: at sf0.001 the clustered write
+    lands 36 files across 36 cell_p dirs and this extent window's scan
+    reads 9 (numFiles/numPartitions metrics off the executed
+    FileSourceScan; pinned by tests/test_catalog.py::
+    test_extent_read_prunes_files)."""
     import atexit
     import shutil
     import tempfile

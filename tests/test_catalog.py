@@ -119,3 +119,51 @@ def test_zorder_clustered_write(spark, tmp_path):
             prev_max = st.max
             checked += 1
     assert checked > 0
+
+
+def test_extent_read_prunes_files(spark):
+    """r5 (round-4 ask #7): the clustered layout must actually PRUNE —
+    the extent-restricted scan's own numFiles/numPartitions metrics
+    (read off the executed FileSourceScan) must show fewer files read
+    than exist on disk, exactly the 3x3 cell window of the extent.
+    Same data/extents as the geo_storage_roundtrip driver row: at
+    sf0.001 the write lands 36 files across 36 cell_p dirs and the
+    (-4,-4,4,4) window reads 9 of them."""
+    import glob
+    import tempfile
+
+    from spatialjoin.catalog import read_geo_extent, write_geo_table_clustered
+    from spatialjoin.queries import TILE_EXTENT, _rects_df
+
+    grid = Grid(TILE_EXTENT)
+    rects = _rects_df(spark, "/root/testdata/sf0.001", "part", "p_partkey")
+    path = tempfile.mkdtemp(prefix="prune_test_")
+    write_geo_table_clustered(rects, path, grid)
+    n_disk = len(glob.glob(f"{path}/cell_p=*/*.parquet"))
+    n_dirs = len(glob.glob(f"{path}/cell_p=*"))
+
+    sub = read_geo_extent(spark, path, grid, (-4.0, -4.0, 4.0, 4.0))
+    rows = sub.collect()
+    assert len(rows) > 0
+
+    final = sub._jdf.queryExecution().executedPlan()
+    try:
+        final = final.executedPlan()  # unwrap AdaptiveSparkPlanExec
+    except Exception:
+        pass
+    leaves = final.collectLeaves()
+    metrics = {}
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        it = leaf.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[kv._1()] = kv._2().value()
+    # extent (-4,-4,4,4) over the 8x8 cell_p grid of TILE_EXTENT
+    # (-16..16, cell 4.0) covers cx,cy in [3,5] -> 9 partitions
+    assert metrics["numPartitions"] == 9
+    assert metrics["numFiles"] < n_disk, (metrics, n_disk)
+    assert metrics["numFiles"] <= 9  # one file per pruned-in partition
+
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
