@@ -144,6 +144,17 @@ def main() -> None:
                 hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
                 recalls[f"{nm}_recall_at_10{suffix}"] = round(hits / den, 4) if den else None
 
+        # fold in the sf10-shaped rehearsal results if a run exists
+        # (bench/rehearsal.py — 60M-row generate->join->rollup->write
+        # under a 6g heap; too heavy to re-run per round, so the latest
+        # run's numbers + timestamp ride along)
+        rehearsal = {}
+        rp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH", "REHEARSAL.json")
+        if os.path.exists(rp):
+            with open(rp) as fh:
+                rehearsal = {"rehearsal": json.loads(fh.read())}
+
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         print(
             json.dumps(
@@ -160,6 +171,7 @@ def main() -> None:
                     "ceiling": ceiling,
                     **knn_cold_warm,
                     **recalls,
+                    **rehearsal,
                 }
             )
         )

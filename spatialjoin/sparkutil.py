@@ -43,7 +43,10 @@ def get_spark(cpus: int | None = None, app: str = "spatialjoin", shuffle_partiti
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test/bench startup cost); the rehearsal
+        # harness turns it on to read spill/peak-heap metrics over REST
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") else "false")
         .getOrCreate()
     )
 
