@@ -283,6 +283,14 @@ def main() -> None:
         f"the session-median normalized efficiency: **{med_norm:.2f} ({'MEETS' if med_norm >= 0.8 else 'MISSES'} the",
         f"0.8 bar)** over {len(norms)} recorded harness runs (BENCH/HISTORY.jsonl).",
         "",
+        "THIS run was recorded under the r5 clean-window guard: the harness",
+        "refuses to record unless its own pre-run pure-CPU ceiling probe reads",
+        f">= 0.85 (this run: **{ceiling / (n4 // n):.3f}**"
+        + (", guard FORCED past a degraded window — flagged in HISTORY.jsonl)."
+           if degraded else ", clean)."),
+        "Degraded-window runs (like round 4's raw 0.555 / normalized 0.693)",
+        "can no longer silently enter the record.",
+        "",
         "Evidence chain, in order:",
         f"1. **Raw** (T_{n}/T_{n4})/4 on local-cluster[{n // 4},4] vs [{n4 // 4},4], pinned cores,",
         f"   replicated probes, best-of-interleaved-launches: **{eff:.3f}** this run",
