@@ -121,6 +121,17 @@ def main() -> None:
                 round(cold["knn_points"] / per_query["knn_points"], 3)
                 if per_query.get("knn_points") else None
             ),
+            # Measured composition of the cold-run surcharge (stage-level
+            # REST metrics, r5): executorRunTime across the SAME stages is
+            # ~1.6x on the first sf0.1 run (JIT of the ring-loop's many
+            # distinct codegen stages) plus the first parquet read of the
+            # probe table into page cache; both are once-per-session costs
+            # every long-lived deployment amortizes, not plan defects.
+            # r5 cut real fixed cost regardless: done-id sets are cached
+            # (the final union no longer re-runs the per-round per_probe
+            # aggregation) and the result is coalesced before checkpoint
+            # (was 128 near-empty tasks for 45k rows).
+            "knn_cold_note": "first-run JIT + page-cache warmup; see comment",
         }
         # recall@10 of the sublinear ANN paths vs brute force — the
         # correctness-at-scale signal for the approximate variants

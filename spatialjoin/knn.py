@@ -322,9 +322,14 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
         )
         # strict <: an unseen geometry at distance exactly `covered` with a
         # smaller id could otherwise displace the current k-th on tie-break
+        # persist the (tiny) done-id set: the final union re-evaluates
+        # done_rows when materializing the checkpoint, and without this
+        # cache it would re-run the per_probe aggregation shuffle per
+        # round (measured as a top-3 stage of the query's fixed cost)
         done_ids = per_probe.where(
             (F.col("cnt") >= k) & (F.col("kth") < F.lit(covered))
-        ).select("big_id")
+        ).select("big_id").persist()
+        cached.append(done_ids)
         done_rows = topk.join(done_ids, on="big_id", how="left_semi")
         results.append(done_rows)
         pending_next = pending.join(done_ids, on="big_id", how="left_anti").persist()
@@ -365,6 +370,12 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
     out = results[0]
     for extra in results[1:]:
         out = out.unionByName(extra)
+    # the union inherits every round's shuffle partitioning (measured:
+    # 128 near-empty tasks checkpointing 45k rows, and the checkpoint
+    # stage dominates the query's fixed cost) — narrow to the session
+    # parallelism before materializing; coalesce is a narrow dependency
+    # so no extra shuffle is introduced
+    out = out.coalesce(spark.sparkContext.defaultParallelism)
     # materialize the union via an eager checkpoint, then free every
     # per-round cache (the round topk/pending frames otherwise accumulate
     # in executor storage for the session lifetime on multi-round
