@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .ann import (
     oracle_ann_ivf,
@@ -1186,6 +1187,8 @@ ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
 """.strip(),
         "images_pipeline": oracle_images_pipeline(),
         "av_pipeline": _oracle_av_pipeline(),
+        "tile_pixels": _oracle_tile_pixels(),
+        "q8_psnr": _oracle_q8_psnr(),
         "paths_intersect_rects": _oracle_paths_rects(),
         "lines_intersect_rects": _oracle_lines_rects(),
         "tris_contain_points": _oracle_tris_points(),
@@ -1528,6 +1531,143 @@ FROM p JOIN v ON p.clip_id = v.clip_id
 """.strip()
 
 
+def q_tile_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RASTER side of raster<->vector assignment, driver-checked: synth
+    image table -> cut_tiles (decode payload, map the pixel grid onto
+    the footprint bbox, emit the pixel slab overlapping each zoom-3
+    tile) -> exact integer content sums per slab. sum2 doubles every
+    decoded value so the LOSSY q8 codec's bin centers (k*8 + 3.5)
+    become integers; the oracle re-derives slab extents (the same
+    floor/ceil double arithmetic, IEEE-identical in DuckDB) and pixel
+    values (counter-mix generator) in pure SQL — decoded-pixel
+    bit-exactness, stronger than the PSNR>=40dB bound (q8_psnr covers
+    that bound explicitly)."""
+    from .images import synth_images
+    from .tiles import cut_tiles, slab_pixel_sums
+
+    # one extent for synth placement, footprints AND the tile grid, so
+    # boundary images exercise the slab-clamping path (e.g. fid 0 sits
+    # exactly on the extent corner)
+    imgs = synth_images(spark, 256)
+    slabs = cut_tiles(imgs, zoom=3, extent=(-10.0, -10.0, 10.0, 10.0))
+    return slab_pixel_sums(slabs).selectExpr(
+        "CAST(substring(image_id, 4, 12) AS BIGINT) AS fid",
+        "tx", "ty", "px_off_x", "px_off_y", "tile_w", "tile_h", "sum2",
+    )
+
+
+def _oracle_tile_pixels(n: int = 256) -> str:
+    # generator constants shared VERBATIM with images._pixels_for /
+    # lonlat_for / footprints; tile grid: zoom 3 over (-10,-10,10,10)
+    # => 8x8 tiles of exactly 2.5 units. Slab extents replicate
+    # tiles.cut_tiles' floor/ceil double arithmetic operation-for-
+    # operation (same IEEE-754 order => identical results).
+    return f"""
+WITH g AS (
+  SELECT i AS fid,
+         CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+         CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 48 END AS h,
+         ((i * 2654435761) % 1000000) / 1000000.0 * 20.0 + -10.0 AS lon,
+         ((i * 40503) % 1000000) / 1000000.0 * 20.0 + -10.0 AS lat,
+         ((i * 2654435761) % 100) < 10 AS is_q8,
+         (i * 2654435761) & 2147483647 AS base
+  FROM range(0, {n}) t(i)),
+bb AS (
+  SELECT *, lon - w / 64.0 * 0.3 AS gx0, lat - h / 64.0 * 0.3 AS gy0,
+            lon + w / 64.0 * 0.3 AS gx1, lat + h / 64.0 * 0.3 AS gy1
+  FROM g),
+cand AS (
+  SELECT bb.*, tt.tx, tt.ty,
+         -10.0 + tt.tx * 2.5 AS txmin, -10.0 + tt.ty * 2.5 AS tymin
+  FROM bb, (SELECT a.i AS tx, b.i AS ty
+            FROM range(0, 8) a(i), range(0, 8) b(i)) tt),
+ov AS (
+  SELECT *, greatest(gx0, txmin) AS ox0, least(gx1, txmin + 2.5) AS ox1,
+            greatest(gy0, tymin) AS oy0, least(gy1, tymin + 2.5) AS oy1
+  FROM cand),
+slab AS (
+  SELECT fid, tx, ty, w, h, is_q8, base,
+         greatest(0, CAST(floor((ox0 - gx0) / (gx1 - gx0) * w) AS INTEGER)) AS c0,
+         least(w,  CAST(ceil((ox1 - gx0) / (gx1 - gx0) * w) AS INTEGER)) AS c1,
+         greatest(0, CAST(floor((gy1 - oy1) / (gy1 - gy0) * h) AS INTEGER)) AS r0,
+         least(h,  CAST(ceil((gy1 - oy0) / (gy1 - gy0) * h) AS INTEGER)) AS r1
+  FROM ov WHERE ox1 > ox0 AND oy1 > oy0),
+px AS (
+  SELECT s.fid, s.tx, s.ty, s.c0, s.r0, s.c1 - s.c0 AS sw, s.r1 - s.r0 AS sh,
+         ((rr.i * s.w + cc.i) * 3 + kk.i) AS p
+  FROM slab s, range(0, 48) rr(i), range(0, 64) cc(i), range(0, 3) kk(i)
+  WHERE rr.i >= s.r0 AND rr.i < s.r1 AND cc.i >= s.c0 AND cc.i < s.c1
+    AND s.c1 > s.c0 AND s.r1 > s.r0),
+v AS (
+  SELECT px.*, (s2.base + p * 2246822519) % 256 AS vraw, s2.is_q8
+  FROM px JOIN (SELECT DISTINCT fid, base, is_q8 FROM slab) s2 USING (fid))
+SELECT fid, tx, ty, c0 AS px_off_x, r0 AS px_off_y, sw AS tile_w, sh AS tile_h,
+       sum(CASE WHEN is_q8 THEN (vraw >> 3) * 16 + 7 ELSE 2 * vraw END) AS sum2
+FROM v
+GROUP BY fid, tx, ty, c0, r0, sw, sh
+""".strip()
+
+
+def q_q8_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's lossy-decode invariant, driver-checked: for
+    every q8-coded image, decode the STORED payload and accumulate the
+    exact squared error vs the generator's ground-truth pixels.
+    sse4 = sum of (2*(src - dec))^2 — src - dec is always a
+    half-integer ((v & 7) - 3.5), so 4x the squared error is an exact
+    int64. PSNR = 10*log10(255^2 / (sse4/4/n_px)) >= 40dB is asserted
+    from these columns in tests/test_knn_tiles_images.py; the oracle
+    re-derives sse4 analytically from the quantizer residue."""
+    from .images import synth_images
+
+    imgs = synth_images(spark, 512).filter(F.col("fmt") == "q8")
+
+    out_schema = T.StructType([
+        T.StructField("fid", T.LongType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("sse4", T.LongType(), False),
+    ])
+
+    def stats(iterator):
+        import numpy as _np
+        import pandas as _pd
+        from .images import _pixels_for as _pf
+
+        for pdf in iterator:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                i = int(t.image_id[3:])
+                codes = _np.frombuffer(t.bytes, dtype=_np.uint8).astype(_np.float64)
+                dec = codes * 8.0 + 3.5  # images.decode("q8") arithmetic
+                src = _pf(i, t.w, t.h).astype(_np.float64).ravel()
+                d2 = (2.0 * (src - dec))
+                rows.append((i, int(src.size), int(round(float((d2 * d2).sum())))))
+            yield _pd.DataFrame(rows, columns=["fid", "n_px", "sse4"])
+
+    return imgs.select("image_id", "bytes", "w", "h").mapInPandas(stats, out_schema)
+
+
+def _oracle_q8_psnr(n: int = 512) -> str:
+    # q8 residue: src - dec = (v & 7) - 3.5, so (2*(src-dec))^2 =
+    # (2*(v&7) - 7)^2 — summed analytically over the counter-mix field.
+    return f"""
+WITH g AS (
+  SELECT i AS fid,
+         CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+         CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 48 END AS h,
+         (i * 2654435761) & 2147483647 AS base
+  FROM range(0, {n}) t(i)
+  WHERE ((i * 2654435761) % 100) < 10),
+v AS (
+  SELECT g.fid, g.w * g.h * 3 AS n_px,
+         (g.base + p.i * 2246822519) % 256 AS vraw
+  FROM g, range(0, 9216) p(i)
+  WHERE p.i < g.w * g.h * 3)
+SELECT fid, CAST(n_px AS BIGINT) AS n_px,
+       sum((2 * (vraw & 7) - 7) * (2 * (vraw & 7) - 7)) AS sse4
+FROM v GROUP BY fid, n_px
+""".strip()
+
+
 QUERIES = {
     "pip_quad_contains": q_pip_quad_contains,
     "pip_quad_cogroup": q_pip_quad_cogroup,
@@ -1572,5 +1712,7 @@ QUERIES = {
     "unmatched_customers": q_unmatched_customers,
     "images_pipeline": q_images_pipeline,
     "av_pipeline": q_av_pipeline,
+    "tile_pixels": q_tile_pixels,
+    "q8_psnr": q_q8_psnr,
     **TEXT_QUERIES,
 }

@@ -168,3 +168,43 @@ def cut_tiles(images_df: DataFrame, zoom: int, extent, footprint_fn=None,
             yield pd.DataFrame(rows, columns=[f.name for f in TILE_PIXEL_SCHEMA.fields])
 
     return j.mapInPandas(slab, TILE_PIXEL_SCHEMA)
+
+
+SLAB_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("tx", T.LongType(), False),
+        T.StructField("ty", T.LongType(), False),
+        T.StructField("px_off_x", T.IntegerType(), False),
+        T.StructField("px_off_y", T.IntegerType(), False),
+        T.StructField("tile_w", T.IntegerType(), False),
+        T.StructField("tile_h", T.IntegerType(), False),
+        T.StructField("sum2", T.LongType(), False),
+    ]
+)
+
+
+def slab_pixel_sums(slabs_df: DataFrame) -> DataFrame:
+    """DF[image_id, tx, ty, px_off_x, px_off_y, tile_w, tile_h, sum2]
+    where sum2 = sum of 2x every float32 pixel value in the slab,
+    exact as an int64: raw-decoded values are integers <= 255 and
+    q8-decoded values are half-integers (k*8 + 3.5), so doubling makes
+    every addend an integer; accumulation runs in float64 where sums
+    this size (< 2^53) are exact. This is what lets a pure-SQL oracle
+    re-derive the decoded slab content of a LOSSY codec bit-exactly."""
+
+    def agg(iterator):
+        for pdf in iterator:
+            sums = [
+                int(round(float((np.frombuffer(b, dtype=np.float32).astype(np.float64) * 2.0).sum())))
+                for b in pdf["tile_bytes"]
+            ]
+            out = pdf[["image_id", "tx", "ty", "px_off_x", "px_off_y",
+                       "tile_w", "tile_h"]].copy()
+            out["sum2"] = np.asarray(sums, dtype=np.int64)
+            yield out
+
+    return slabs_df.select(
+        "image_id", "tx", "ty", "px_off_x", "px_off_y",
+        "tile_w", "tile_h", "tile_bytes",
+    ).mapInPandas(agg, SLAB_SUM_SCHEMA)

@@ -156,6 +156,47 @@ def test_q8_psnr_above_40db(spark):
         assert psnr(src, dec) >= 40.0
 
 
+def test_q8_psnr_driver_row_bounds_psnr(spark):
+    """The q8_psnr driver row's integer columns bound PSNR >= 40dB for
+    every stored q8 image: PSNR = 10*log10(255^2 / (sse4/4/n_px))."""
+    import math
+
+    from spatialjoin.queries import q_q8_psnr
+
+    rows = q_q8_psnr(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected some q8 rows"
+    for r in rows:
+        mse = r.sse4 / 4.0 / r.n_px
+        assert 10.0 * math.log10(255.0 * 255.0 / mse) >= 40.0, r
+
+
+def test_slab_pixel_sums_match_direct_decode(spark):
+    """slab_pixel_sums doubles-and-sums exactly: cross-check one image's
+    slabs against a direct numpy decode of the same slab extents."""
+    from spatialjoin.images import decode, synth_images
+    from spatialjoin.tiles import cut_tiles, slab_pixel_sums
+
+    ext = (-10.0, -10.0, 10.0, 10.0)
+    imgs = synth_images(spark, 24, extent=ext)
+    slabs = cut_tiles(imgs, zoom=3, extent=ext).persist()
+    sums = {
+        (r.image_id, r.tx, r.ty): r.sum2
+        for r in slab_pixel_sums(slabs).collect()
+    }
+    raw = {r.image_id: r for r in imgs.collect()}
+    checked = 0
+    for s in slabs.collect():
+        px = decode(raw[s.image_id].bytes, raw[s.image_id].fmt,
+                    raw[s.image_id].w, raw[s.image_id].h)
+        cut = px[s.px_off_y:s.px_off_y + s.tile_h,
+                 s.px_off_x:s.px_off_x + s.tile_w, :]
+        want = int(round(float((cut * 2.0).sum())))
+        assert sums[(s.image_id, s.tx, s.ty)] == want
+        checked += 1
+    slabs.unpersist()
+    assert checked >= 24
+
+
 def test_caption_roundtrip_and_phash(spark):
     df = synth_images(spark, 32)
     for r in df.collect():
