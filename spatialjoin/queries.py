@@ -1189,6 +1189,7 @@ ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
         "av_pipeline": _oracle_av_pipeline(),
         "tile_pixels": _oracle_tile_pixels(),
         "q8_psnr": _oracle_q8_psnr(),
+        "hilbert_key": _oracle_hilbert_key(),
         "paths_intersect_rects": _oracle_paths_rects(),
         "lines_intersect_rects": _oracle_lines_rects(),
         "tris_contain_points": _oracle_tris_points(),
@@ -1668,6 +1669,53 @@ FROM v GROUP BY fid, n_px
 """.strip()
 
 
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert storage-clustering key (catalog.with_hilbert_key — the
+    reference's packed-Hilbert bulk-load ordering as a parquet
+    sort key) over part-table point centers at res 8. The JVM-side
+    aggregate() fold is oracle-checked against a recursive-CTE
+    transcription of the same xy2d bit-rotation loop in DuckDB."""
+    from .catalog import with_hilbert_key
+    from .grid import Grid
+
+    pts = _points_df(spark, sf_dir, "part", "p_partkey")
+    out = with_hilbert_key(pts, Grid((-10.0, -10.0, 10.0, 10.0)), res=8)
+    return out.selectExpr("id AS p_partkey", "hkey")
+
+
+def _oracle_hilbert_key(res: int = 8) -> str:
+    px, py = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    n = 1 << res
+    cw = 20.0 / n
+    return f"""
+WITH RECURSIVE cells AS (
+  SELECT p_partkey,
+         greatest(0, least({n - 1},
+           CAST(floor((({px}) - -10.0) / {cw!r}) AS BIGINT))) AS cx,
+         greatest(0, least({n - 1},
+           CAST(floor((({py}) - -10.0) / {cw!r}) AS BIGINT))) AS cy
+  FROM part),
+it AS (
+  SELECT p_partkey, cx AS x, cy AS y, CAST(0 AS BIGINT) AS d,
+         {res - 1} AS lvl
+  FROM cells
+  UNION ALL
+  SELECT p_partkey,
+         CASE WHEN (y & (1 << lvl)) != 0 THEN x
+              WHEN (x & (1 << lvl)) != 0 THEN (1 << lvl) - 1 - y
+              ELSE y END,
+         CASE WHEN (y & (1 << lvl)) != 0 THEN y
+              WHEN (x & (1 << lvl)) != 0 THEN (1 << lvl) - 1 - x
+              ELSE x END,
+         d + (1 << lvl) * (1 << lvl)
+           * xor(CASE WHEN (x & (1 << lvl)) != 0 THEN 3 ELSE 0 END,
+                 CASE WHEN (y & (1 << lvl)) != 0 THEN 1 ELSE 0 END),
+         lvl - 1
+  FROM it WHERE lvl >= 0)
+SELECT p_partkey, d AS hkey FROM it WHERE lvl = -1
+""".strip()
+
+
 QUERIES = {
     "pip_quad_contains": q_pip_quad_contains,
     "pip_quad_cogroup": q_pip_quad_cogroup,
@@ -1714,5 +1762,6 @@ QUERIES = {
     "av_pipeline": q_av_pipeline,
     "tile_pixels": q_tile_pixels,
     "q8_psnr": q_q8_psnr,
+    "hilbert_key": q_hilbert_key,
     **TEXT_QUERIES,
 }

@@ -121,6 +121,79 @@ def test_zorder_clustered_write(spark, tmp_path):
     assert checked > 0
 
 
+def _xy2d(res: int, cx: int, cy: int) -> int:
+    """Independent scalar Hilbert xy2d (classic bit-rotation loop)."""
+    d = 0
+    x, y = cx, cy
+    s = 1 << (res - 1)
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_scalar_and_is_adjacent(spark):
+    """with_hilbert_key's JVM aggregate() fold == the scalar xy2d for
+    EVERY cell of a 16x16 grid, and the defining Hilbert property
+    holds: consecutive keys are grid-ADJACENT cells (Manhattan
+    distance exactly 1) — the locality guarantee Morton lacks."""
+    from spatialjoin.catalog import with_hilbert_key
+
+    res, n = 4, 16
+    grid = Grid((0.0, 0.0, 16.0, 16.0))  # cell size exactly 1.0
+    rows = [(POINT, [cx + 0.5, cy + 0.5]) for cx in range(n) for cy in range(n)]
+    df = geoms_to_df(spark, rows)
+    got = {r.id: r.hkey for r in
+           with_hilbert_key(df, grid, res=res).select("id", "hkey").collect()}
+    by_d = {}
+    for i, (_, (xc, yc)) in enumerate(rows):
+        cx, cy = int(xc), int(yc)
+        want = _xy2d(res, cx, cy)
+        assert got[i] == want, (cx, cy, got[i], want)
+        by_d[want] = (cx, cy)
+    assert sorted(by_d) == list(range(n * n))  # a bijection onto 0..255
+    for d in range(n * n - 1):
+        (x0, y0), (x1, y1) = by_d[d], by_d[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, (d, by_d[d], by_d[d + 1])
+
+
+def test_hilbert_clustered_write_sorted_row_groups(spark, tmp_path):
+    """order='hilbert' writes hkey-sorted row groups (disjoint min/max
+    ranges), same guarantee the zorder test pins."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spatialjoin.catalog import write_geo_table_clustered
+
+    rng = random.Random(11)
+    rows = [(POINT, [rng.uniform(-9, 9), rng.uniform(-9, 9)]) for _ in range(4000)]
+    df = geoms_to_df(spark, rows)
+    grid = Grid((-10.0, -10.0, 10.0, 10.0))
+    path = str(tmp_path / "geo_h")
+    write_geo_table_clustered(df, path, grid, order="hilbert")
+    assert read_geo_table(spark, path).count() == 4000
+    checked = 0
+    for f in glob.glob(f"{path}/cell_p=*/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        hi = md.schema.to_arrow_schema().names.index("hkey")
+        prev_max = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(hi).statistics
+            assert st is not None
+            if prev_max is not None:
+                assert st.min >= prev_max, f"{f}: row groups not hkey-sorted"
+            prev_max = st.max
+            checked += 1
+    assert checked > 0
+
+
 def test_extent_read_prunes_files(spark):
     """r5 (round-4 ask #7): the clustered layout must actually PRUNE —
     the extent-restricted scan's own numFiles/numPartitions metrics
