@@ -367,6 +367,7 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
                 f"{n}); raise max_rounds or initial_ring"
             )
         r *= 4
+    _t0 = _time.perf_counter()
     out = results[0]
     for extra in results[1:]:
         out = out.unionByName(extra)
@@ -418,6 +419,8 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
         out = out.checkpoint(eager=True)
     else:
         out = out.localCheckpoint(eager=True)
+    if _dbg:
+        print(f"[knn] final union+checkpoint wall={_time.perf_counter() - _t0:.2f}")
     for df in cached:
         df.unpersist()
     return out
