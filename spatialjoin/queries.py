@@ -1190,6 +1190,7 @@ ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
         "tile_pixels": _oracle_tile_pixels(),
         "q8_psnr": _oracle_q8_psnr(),
         "hilbert_key": _oracle_hilbert_key(),
+        "events_stream_pip": _oracle_events_stream_pip(),
         "paths_intersect_rects": _oracle_paths_rects(),
         "lines_intersect_rects": _oracle_lines_rects(),
         "tris_contain_points": _oracle_tris_points(),
@@ -1294,6 +1295,82 @@ WITH cells AS (
 SELECT win_start, tx, ty, event_type,
        count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM cells GROUP BY 1, 2, 3, 4
+""".strip()
+
+
+def q_events_stream_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SPATIAL JOIN driver row: the events table replayed
+    through a real file stream (trigger=availableNow) as a POINT
+    stream, exact-joined against a STATIC part-rect SpatialIndex via
+    streaming.stream_points_in_rects — the full filter (cell
+    equi-join) + refine (closed-rect containment) pipeline as pure JVM
+    column ops on a streaming DataFrame — then rolled up per rect in
+    complete mode. stream = batch: the DuckDB twin is the plain
+    nested-loop point-in-rect aggregate."""
+    from .streaming import stream_points_in_rects
+
+    px, py = PX.format(k="event_id"), PY.format(k="event_id")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    import os
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="events_stream_pip_")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    ev = stream.selectExpr(
+        "event_id", f"({px}) AS x", f"({py}) AS y",
+        "CAST(round(value * 100e0) AS BIGINT) AS cents",
+    )
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    idx = SpatialIndex.build(spark, rects, validate=False)
+    joined = stream_points_in_rects(ev, idx)
+    agg = joined.groupBy("small_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"events_stream_pip_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import shutil
+
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        raise RuntimeError(
+            "events_stream_pip: availableNow stream did not terminate "
+            "within 300s — refusing to read a partial memory sink"
+        )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    idx.unpersist()
+    return spark.table(name).selectExpr(
+        "small_id AS p_partkey", "n_events", "sum_cents",
+    )
+
+
+def _oracle_events_stream_pip() -> str:
+    px_e, py_e = PX.format(k="event_id"), PY.format(k="event_id")
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra, rb = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    return f"""
+WITH pts AS (
+  SELECT {px_e} AS x, {py_e} AS y,
+         CAST(round(value * 100e0) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT p_partkey,
+         ({px_p}) - ({ra}) AS xmin, ({py_p}) - ({rb}) AS ymin,
+         ({px_p}) + ({ra}) AS xmax, ({py_p}) + ({rb}) AS ymax
+  FROM part)
+SELECT r.p_partkey, count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM pts, r
+WHERE x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax
+GROUP BY 1
 """.strip()
 
 
@@ -1763,5 +1840,6 @@ QUERIES = {
     "tile_pixels": q_tile_pixels,
     "q8_psnr": q_q8_psnr,
     "hilbert_key": q_hilbert_key,
+    "events_stream_pip": q_events_stream_pip,
     **TEXT_QUERIES,
 }

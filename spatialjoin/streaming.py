@@ -122,3 +122,42 @@ def enrich_stream_with_index(events: DataFrame, index: SpatialIndex,
     cells = with_event_cells(events, index.grid, index.resolution, x_col, y_col)
     small = index.small_cells.select("cell", "small_id")
     return cells.join(small, on="cell", how="inner")
+
+
+def stream_points_in_rects(events: DataFrame, index: SpatialIndex,
+                           x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """EXACT streaming spatial join of a point stream against a RECT
+    small side — the full filter+refine pipeline, valid on a streaming
+    DataFrame: the cell equi-join is the filter phase and the
+    closed-rect containment test on the index's stored bbox columns is
+    the exact refine (for RECTs the bbox IS the geometry; inclusive
+    boundaries match kernels.py's Rect semantics). Pure JVM end-to-end
+    — no Python operator, no state, so it composes with any downstream
+    watermark/window. Each point covers exactly ONE cell, so no pair
+    dedup is needed (a rect spans many cells; the pair still arises
+    only via the point's single cell).
+
+    Requires a plain single-level index built with max_distance=0 (the
+    stored bbox would otherwise be the buffered rect, breaking
+    exactness) whose small side is all RECTs."""
+    from .geom import RECT
+
+    if index.max_distance:
+        raise ValueError("stream_points_in_rects needs max_distance=0 "
+                         "(buffered bboxes are not the exact rects)")
+    if index.small_fine is not None or index.levels is not None:
+        raise ValueError("stream_points_in_rects needs a plain "
+                         "single-level index (no hot-split/multilevel)")
+    if index._small_kinds() != {RECT}:
+        raise ValueError("stream_points_in_rects: small side must be "
+                         "all RECTs")
+    cells = with_event_cells(events, index.grid, index.resolution, x_col, y_col)
+    small = index.small_cells.select(
+        "cell", "small_id", "s_xmin", "s_ymin", "s_xmax", "s_ymax")
+    x, y = F.col(x_col), F.col(y_col)
+    return (
+        cells.join(small, on="cell", how="inner")
+        .where((x >= F.col("s_xmin")) & (x <= F.col("s_xmax"))
+               & (y >= F.col("s_ymin")) & (y <= F.col("s_ymax")))
+        .drop("cell", "s_xmin", "s_ymin", "s_xmax", "s_ymax")
+    )

@@ -337,3 +337,48 @@ def test_synth_av_clips_roundtrip(spark):
     for i in range(8):
         assert cnt[i] == (2 + (i % 3) + 1) // 2
     av.unpersist()
+
+
+def test_stream_points_in_rects_guards_and_batch_equivalence(spark):
+    """stream_points_in_rects: (a) refuses buffered / multilevel /
+    non-RECT indexes; (b) on a BATCH frame its output equals the
+    engine's spatial_join contains rows (the streaming plan is the same
+    stateless column math)."""
+    import pytest
+
+    from spatialjoin.geom import POINT, RECT
+    from spatialjoin.index import SpatialIndex
+    from spatialjoin.sparkutil import geoms_to_df
+    from spatialjoin.streaming import stream_points_in_rects
+
+    import random
+
+    rng = random.Random(5)
+    rects = [
+        (RECT, [x - rng.uniform(0.05, 0.4), y - rng.uniform(0.05, 0.4),
+                x + rng.uniform(0.05, 0.4), y + rng.uniform(0.05, 0.4)])
+        for _ in range(150)
+        for x, y in [(rng.uniform(-8, 8), rng.uniform(-8, 8))]
+    ]
+    pts = [(POINT, [rng.uniform(-9, 9), rng.uniform(-9, 9)]) for _ in range(800)]
+    rdf, pdf = geoms_to_df(spark, rects), geoms_to_df(spark, pts)
+
+    buffered = SpatialIndex.build(spark, rdf, max_distance=0.5, validate=False)
+    with pytest.raises(ValueError, match="max_distance"):
+        stream_points_in_rects(pdf.selectExpr(
+            "id", "coords[0] AS x", "coords[1] AS y"), buffered)
+    buffered.unpersist()
+    notrect = SpatialIndex.build(spark, pdf, validate=False)
+    with pytest.raises(ValueError, match="RECT"):
+        stream_points_in_rects(pdf.selectExpr(
+            "id", "coords[0] AS x", "coords[1] AS y"), notrect)
+    notrect.unpersist()
+
+    idx = SpatialIndex.build(spark, rdf, validate=False)
+    ev = pdf.selectExpr("id AS event_id", "coords[0] AS x", "coords[1] AS y")
+    got = {(r.event_id, r.small_id)
+           for r in stream_points_in_rects(ev, idx).collect()}
+    want = {(r.big_id, r.small_id)
+            for r in idx.spatial_join(pdf, how="contains", validate=False).collect()}
+    idx.unpersist()
+    assert got == want and len(got) > 0
