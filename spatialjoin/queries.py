@@ -1191,6 +1191,7 @@ ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
         "q8_psnr": _oracle_q8_psnr(),
         "hilbert_key": _oracle_hilbert_key(),
         "events_stream_pip": _oracle_events_stream_pip(),
+        "resume_rollup": _oracle_pip_quads(small_within_big=False),
         "paths_intersect_rects": _oracle_paths_rects(),
         "lines_intersect_rects": _oracle_lines_rects(),
         "tris_contain_points": _oracle_tris_points(),
@@ -1746,6 +1747,50 @@ FROM v GROUP BY fid, n_px
 """.strip()
 
 
+_RESUME_DIR: list = []  # stable resume-row staging dir (atexit-cleaned)
+
+
+def q_resume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT/RESUME driver row (north rule: "resumable from
+    checkpoint with per-partition lineage"): the quad-contains-point
+    join executed through checkpoint.ResumableRun with an INJECTED
+    CRASH after 3 of 8 buckets published, then RESUMED by a second
+    run() call — which anti-joins the published lineage manifests and
+    computes only the missing buckets. The published table must equal
+    the straight batch join; the oracle is the plain PIP SQL. The crash
+    is asserted to have really happened (partial manifest set between
+    the runs), so the green row certifies the resume path, not a lucky
+    single pass."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .checkpoint import ResumableRun
+
+    if not _RESUME_DIR:
+        d = tempfile.mkdtemp(prefix="resume_row_")
+        _RESUME_DIR.append(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    out_dir = tempfile.mkdtemp(dir=_RESUME_DIR[0])
+
+    def factory() -> DataFrame:
+        return q_pip_quad_contains(spark, sf_dir)
+
+    runner = ResumableRun(out_dir, n_buckets=8, key_col="big_id",
+                          lineage={"query": "pip_quad_contains", "sf": sf_dir})
+    try:
+        runner.run(factory, fail_after=3)
+    except RuntimeError:
+        pass
+    else:  # pragma: no cover - the injection must fire
+        raise AssertionError("fail_after=3 injection did not raise")
+    done_mid = runner.done_buckets()
+    assert 0 < len(done_mid) < 8, f"expected a partial crash state, got {done_mid}"
+    resumed = runner.run(factory)
+    assert sorted(done_mid | set(resumed)) == list(range(8))
+    return runner.read(spark).select("big_id", "small_id")
+
+
 def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert storage-clustering key (catalog.with_hilbert_key — the
     reference's packed-Hilbert bulk-load ordering as a parquet
@@ -1841,5 +1886,6 @@ QUERIES = {
     "q8_psnr": q_q8_psnr,
     "hilbert_key": q_hilbert_key,
     "events_stream_pip": q_events_stream_pip,
+    "resume_rollup": q_resume_rollup,
     **TEXT_QUERIES,
 }
