@@ -1040,7 +1040,7 @@ class SpatialIndex:
         self, big_df: DataFrame, how: str = "intersects",
         with_geos: bool = False, validate: bool = True,
         big_kinds=None, big_max_rings: int | None = None, strategy: str = "auto",
-        prefer_sql_pip: bool = False,
+        prefer_sql_pip: bool = False, pair_filter=None,
     ) -> DataFrame:
         """DF[big_id, small_id] (+ geometry columns when with_geos),
         matching SJoinRow/SJoinGeoRow (src/structs.rs:369-401).
@@ -1048,7 +1048,17 @@ class SpatialIndex:
 
         ``big_kinds``: optional set of kind codes present on the probe
         side; when both sides are rect/point-only the exact refine is
-        pure SQL and the plan never leaves the JVM."""
+        pure SQL and the plan never leaves the JVM.
+
+        ``pair_filter``: optional Column predicate over ONLY
+        (big_id, small_id), semantically identical to filtering the
+        join OUTPUT — but pushed onto the CANDIDATE pairs, before the
+        exact-refine stage, so skipped pairs never cross the Arrow
+        boundary or run kernels (deterministic join sampling, id-range
+        restriction, incremental re-processing all cost
+        ~fraction x refine instead of full-join-then-filter). On the
+        cogroup strategy the predicate is applied after the grouped
+        refine instead (same rows, no pre-refine saving)."""
         if how not in _HOW:
             raise ValueError(f"how must be one of {_HOW}")
         if strategy not in ("auto", "pairs", "cogroup"):
@@ -1088,13 +1098,19 @@ class SpatialIndex:
                 and slim is not None
             )
             if not (sql_shuffle or shuffle_pairs):
-                return self._cogroup_refine(big_df, validate, "join", how=how,
-                                            with_geos=with_geos,
-                                            big_kinds=big_kinds)
+                out = self._cogroup_refine(big_df, validate, "join", how=how,
+                                           with_geos=with_geos,
+                                           big_kinds=big_kinds)
+                return out.where(pair_filter) if pair_filter is not None else out
         cand = self._candidates(
             big_df, validate,
             point_probe=big_kinds is not None and set(big_kinds) == {_KP},
         )
+        if pair_filter is not None:
+            # pair-identity predicate: refine is deterministic, so
+            # filtering candidates == filtering results, minus the
+            # refine work for dropped pairs
+            cand = cand.where(pair_filter)
         # the fast paths reason over stored bboxes, which are buffered by
         # max_distance at build — only exact when the buffer is zero
         sqlpred = None

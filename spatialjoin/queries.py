@@ -1192,6 +1192,7 @@ ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
         "hilbert_key": _oracle_hilbert_key(),
         "events_stream_pip": _oracle_events_stream_pip(),
         "resume_rollup": _oracle_pip_quads(small_within_big=False),
+        "pip_quad_sample": _oracle_pip_quad_sample(),
         "paths_intersect_rects": _oracle_paths_rects(),
         "lines_intersect_rects": _oracle_lines_rects(),
         "tris_contain_points": _oracle_tris_points(),
@@ -1747,6 +1748,33 @@ FROM v GROUP BY fid, n_px
 """.strip()
 
 
+def q_pip_quad_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED spatial join (after ICDE'25 "Random Sampling Over
+    Spatial Range Joins", PAPERS.md): a deterministic pair-hash
+    predicate handed to spatial_join(pair_filter=...) — pushed onto
+    the CANDIDATE pairs so the ~80% dropped pairs never reach the
+    kernel refine, instead of join-then-filter. Semantically identical
+    to filtering the output (refine is deterministic), which is exactly
+    what the oracle computes: the full PIP SQL plus the same LCG
+    predicate."""
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    idx = SpatialIndex.build(spark, quads, validate=False)
+    pred = (
+        ((F.col("big_id") % 7919) * 31 + (F.col("small_id") % 7919) * 17) % 5 == 0
+    )
+    return idx.spatial_join(pts, how="contains", validate=False,
+                            big_kinds={0}, pair_filter=pred)
+
+
+def _oracle_pip_quad_sample() -> str:
+    base = _oracle_pip_quads(small_within_big=False)
+    return (
+        f"SELECT big_id, small_id FROM ({base}) "
+        "WHERE ((big_id % 7919) * 31 + (small_id % 7919) * 17) % 5 = 0"
+    )
+
+
 _RESUME_DIR: list = []  # stable resume-row staging dir (atexit-cleaned)
 
 
@@ -1887,5 +1915,6 @@ QUERIES = {
     "hilbert_key": q_hilbert_key,
     "events_stream_pip": q_events_stream_pip,
     "resume_rollup": q_resume_rollup,
+    "pip_quad_sample": q_pip_quad_sample,
     **TEXT_QUERIES,
 }

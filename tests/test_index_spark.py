@@ -433,3 +433,63 @@ def test_join_matches_oracle_large(spark):
     want = slow_spatial_join(gb(small_rows), gb(big_rows), "intersects")
     got = run_join(spark, small_rows, big_rows, "intersects")
     assert got == want
+
+
+def test_pair_filter_pushdown_and_equivalence(spark):
+    """pair_filter: (a) the predicate sits BELOW the Python refine in
+    the physical plan (dropped candidates never cross the Arrow
+    boundary); (b) results equal join-then-filter on every strategy,
+    including the cogroup fallback where it is applied post-refine."""
+    import random
+
+    from spatialjoin.geom import POINT, POLYGON
+    from spatialjoin.index import SpatialIndex
+    from spatialjoin.sparkutil import geoms_to_df
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    quads = []
+    for _ in range(60):
+        cx, cy = rng.uniform(-6, 6), rng.uniform(-6, 6)
+        h = rng.uniform(0.1, 0.9)
+        quads.append((POLYGON,
+                      [cx - h, cy - h, cx + h, cy - h, cx + h, cy + h,
+                       cx - h, cy + h, cx - h, cy - h], [0]))
+    pts = [(POINT, [rng.uniform(-7, 7), rng.uniform(-7, 7)]) for _ in range(500)]
+    qdf, pdf = geoms_to_df(spark, quads), geoms_to_df(spark, pts)
+    pred = ((F.col("big_id") % 101) * 7 + (F.col("small_id") % 101) * 3) % 4 == 0
+
+    idx = SpatialIndex.build(spark, qdf, validate=False)
+    sampled = idx.spatial_join(pdf, how="contains", validate=False,
+                               big_kinds={POINT}, pair_filter=pred)
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    # the Filter on the pair hash must appear BELOW (after, in print
+    # order) the Python operator line — i.e. in its child subtree
+    lines = plan.splitlines()
+    py_at = [i for i, l in enumerate(lines)
+             if "MapInArrow" in l or "MapInPandas" in l]
+    # Catalyst may keep the predicate as a Filter node or fuse it into
+    # the cell join's condition — either way it must sit BELOW the
+    # Python operator (toString prints children below their parent)
+    flt_at = [i for i, l in enumerate(lines) if "% 101" in l]
+    assert py_at and flt_at, plan
+    assert min(flt_at) > min(py_at), plan
+    full = idx.spatial_join(pdf, how="contains", validate=False,
+                            big_kinds={POINT})
+    want = sorted((r.big_id, r.small_id) for r in full.where(pred).collect())
+    got = sorted((r.big_id, r.small_id) for r in sampled.collect())
+    assert got == want and 0 < len(got) < full.count()
+
+    # cogroup strategy: post-refine application, same rows
+    cg = idx.spatial_join(pdf, how="contains", validate=False,
+                          big_kinds={POINT}, strategy="cogroup",
+                          pair_filter=pred)
+    assert sorted((r.big_id, r.small_id) for r in cg.collect()) == want
+    idx.unpersist()
+
+    # non-broadcast shuffle-pairs route honours the filter too
+    idx2 = SpatialIndex.build(spark, qdf, validate=False, broadcast=False)
+    sp = idx2.spatial_join(pdf, how="contains", validate=False,
+                           big_kinds={POINT}, pair_filter=pred)
+    assert sorted((r.big_id, r.small_id) for r in sp.collect()) == want
+    idx2.unpersist()
