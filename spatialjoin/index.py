@@ -1172,10 +1172,15 @@ class SpatialIndex:
 
     def proximity_map(
         self, big_df: DataFrame, with_geos: bool = False, validate: bool = True,
-        big_kinds=None, strategy: str = "auto",
+        big_kinds=None, strategy: str = "auto", pair_filter=None,
     ) -> DataFrame:
         """DF[big_id, small_id, distance] with distance <= max_distance
-        (inclusive), matching ProxMapRow (src/structs.rs:313-338)."""
+        (inclusive), matching ProxMapRow (src/structs.rs:313-338).
+
+        ``pair_filter``: same contract as spatial_join — a predicate
+        over ONLY (big_id, small_id), pushed onto candidate pairs
+        before the distance refine (post-refine on the cogroup
+        strategy); identical rows to filtering the output."""
         from .geom import POINT as KP
 
         if (
@@ -1191,6 +1196,8 @@ class SpatialIndex:
             # both scans, halving the bytes this bandwidth-bound path
             # pushes through the join
             cand = self._candidates(big_df, validate, point_probe=True)
+            if pair_filter is not None:
+                cand = cand.where(pair_filter)
             dist = F.expr(
                 "sqrt((s_px - b_xmin) * (s_px - b_xmin) + "
                 "(s_py - b_ymin) * (s_py - b_ymin))"
@@ -1217,13 +1224,16 @@ class SpatialIndex:
             # overlap IS the distance prefilter), one mapInArrow
             # computes exact distances
             if not (strategy == "auto" and slim is not None):
-                return self._cogroup_refine(big_df, validate, "prox",
-                                            with_geos=with_geos,
-                                            big_kinds=big_kinds)
+                out = self._cogroup_refine(big_df, validate, "prox",
+                                           with_geos=with_geos,
+                                           big_kinds=big_kinds)
+                return out.where(pair_filter) if pair_filter is not None else out
         cand = self._candidates(
             big_df, validate,
             point_probe=big_kinds is not None and set(big_kinds) == {KP},
         )
+        if pair_filter is not None:
+            cand = cand.where(pair_filter)
         fields = [
             T.StructField("big_id", T.LongType(), False),
             T.StructField("small_id", T.LongType(), False),

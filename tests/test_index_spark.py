@@ -493,3 +493,42 @@ def test_pair_filter_pushdown_and_equivalence(spark):
                            big_kinds={POINT}, pair_filter=pred)
     assert sorted((r.big_id, r.small_id) for r in sp.collect()) == want
     idx2.unpersist()
+
+
+def test_pair_filter_proximity_equivalence(spark):
+    """proximity_map(pair_filter=...) == proximity_map then filter, on
+    the JVM point-point fast path, the general kernel path, and the
+    forced cogroup strategy."""
+    import random
+
+    from spatialjoin.geom import LINESTRING, POINT
+    from spatialjoin.index import SpatialIndex
+    from spatialjoin.sparkutil import geoms_to_df
+    from pyspark.sql import functions as F
+
+    rng = random.Random(23)
+    pts_s = [(POINT, [rng.uniform(-6, 6), rng.uniform(-6, 6)]) for _ in range(120)]
+    pts_b = [(POINT, [rng.uniform(-6, 6), rng.uniform(-6, 6)]) for _ in range(400)]
+    lines = [(LINESTRING, [rng.uniform(-6, 6), rng.uniform(-6, 6),
+                           rng.uniform(-6, 6), rng.uniform(-6, 6)])
+             for _ in range(120)]
+    pred = ((F.col("big_id") % 53) + (F.col("small_id") % 53)) % 3 == 0
+
+    for small_rows in (pts_s, lines):
+        sdf = geoms_to_df(spark, small_rows)
+        bdf = geoms_to_df(spark, pts_b)
+        idx = SpatialIndex.build(spark, sdf, max_distance=0.8, validate=False)
+        full = idx.proximity_map(bdf, validate=False, big_kinds={POINT})
+        want = sorted((r.big_id, r.small_id, r.distance)
+                      for r in full.where(pred).collect())
+        got = sorted((r.big_id, r.small_id, r.distance)
+                     for r in idx.proximity_map(
+                         bdf, validate=False, big_kinds={POINT},
+                         pair_filter=pred).collect())
+        assert got == want and len(got) > 0
+        cg = sorted((r.big_id, r.small_id, r.distance)
+                    for r in idx.proximity_map(
+                        bdf, validate=False, big_kinds={POINT},
+                        strategy="cogroup", pair_filter=pred).collect())
+        assert cg == want
+        idx.unpersist()
