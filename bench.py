@@ -121,12 +121,16 @@ def main() -> None:
                 round(cold["knn_points"] / per_query["knn_points"], 3)
                 if per_query.get("knn_points") else None
             ),
-            # Measured composition of the cold-run surcharge (stage-level
-            # REST metrics, r5): executorRunTime across the SAME stages is
-            # ~1.6x on the first sf0.1 run (JIT of the ring-loop's many
-            # distinct codegen stages) plus the first parquet read of the
-            # probe table into page cache; both are once-per-session costs
-            # every long-lived deployment amortizes, not plan defects.
+            # Measured composition of the cold-run surcharge (r5, clean
+            # window, SPARK_GRAFT_KNN_DEBUG stage timers): the ring round
+            # itself is ~equal cold vs warm (1.8 vs 1.3s); the surcharge
+            # sits in the sweep+union+checkpoint stage (3.7s cold vs
+            # 0.6-1.3s warm) — its generated code is shape-specific, so
+            # the sf0.001 warmup's JIT output (6.9s, includes Python
+            # worker spawn) does not transfer and the first sf0.1 run
+            # recompiles; plus the first parquet read of the probe table
+            # into page cache. Once-per-session costs every long-lived
+            # deployment amortizes, not plan defects.
             # r5 cut real fixed cost regardless: done-id sets are cached
             # (the final union no longer re-runs the per-round per_probe
             # aggregation) and the result is coalesced before checkpoint
