@@ -248,6 +248,13 @@ def main() -> None:
         "sf": SF_DIR,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # post-run ceiling probe: the guard only samples the window at
+    # START; a run recorded 2026-08-17T19:27 passed a 0.896 pre-probe
+    # and still landed at normalized 0.74 because neighbors degraded
+    # MID-run. Recording the post probe (not used for normalization —
+    # the established entries have no counterpart) lets a reader see
+    # whether a weak entry's window held or collapsed underneath it.
+    ceiling_post = machine_ceiling(n, n4)
     # append every harness run to a history log: single-run numbers on
     # this VM swim (noisy neighbors move BOTH the engine times and the
     # CPU-burn ceiling run-to-run), so the honest summary is the
@@ -257,6 +264,7 @@ def main() -> None:
             "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "raw": round(eff, 4),
             "ceiling": round(ceiling / (n4 // n), 4),
+            "ceiling_post": round(ceiling_post / (n4 // n), 4),
             "normalized": round(eff / (ceiling / (n4 // n)), 4),
             "raw_all": round(eff_all, 4),
             "degraded": degraded,
