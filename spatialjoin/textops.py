@@ -458,6 +458,89 @@ ORDER BY n DESC, tok ASC LIMIT 20
 """.strip()
 
 
+def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 a_col: str = "d1", b_col: str = "d2",
+                 max_rounds: int = 50) -> DataFrame:
+    """Connected components over near-dup PAIRS -> DF[doc_id,
+    cluster_id], cluster_id = MIN doc id in the component — the
+    "keeper" a dedup pipeline retains per duplicate group (pair lists
+    alone under-merge: a~b and b~c must collapse into ONE group even
+    when a~c was never emitted).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its own label and its neighbours' labels; converges in
+    diameter(G) rounds (near-dup components are small cliques/chains,
+    so typically 2-3). Each round is one shuffle join + map-side-
+    combinable min aggregation; the label frame (2 longs/doc) is
+    localCheckpoint'ed per round so lineage stays O(1) and the driver
+    convergence check is one count. At 10^12-doc scale swap the
+    propagation step for the two-phase large-star/small-star rounds of
+    Kiveris et al., "Connected Components in MapReduce and Beyond"
+    (SoCC'14) — O(log^2 n) rounds independent of diameter; the
+    loop/convergence/checkpoint scaffolding here is unchanged."""
+    e1 = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    e2 = pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    edges = e1.unionByName(e2).distinct().persist()
+    labels = docs.select(F.col(id_col).alias("id"),
+                         F.col(id_col).alias("lbl")).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels.select(F.col("id").alias("v"),
+                                     F.col("lbl").alias("vlbl")), on="v")
+            .groupBy("u").agg(F.min("vlbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(nbr.withColumnRenamed("u", "id"), on="id", how="left")
+            .select("id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), on="id")
+            .where(F.col("n.lbl") != F.col("o.lbl")).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(f"dup_clusters did not converge in {max_rounds} rounds")
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUP FORMATION driver row: n-gram-jaccard near-dup pairs
+    -> connected components -> (doc_id, cluster_id = min id in
+    component). The oracle walks the same (symmetrized) edge set with
+    a recursive CTE and takes min reachable id — exact."""
+    docs = _docs(spark, sf_dir)
+    prs = q_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    return dup_clusters(docs, prs)
+
+
+ORACLE_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLES_CAPPED_SQL},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT d1, d2
+  FROM inter JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+  WHERE c * 1e0 / (ca.n + cb.n - c) >= {JACCARD_T}
+),
+edges AS (SELECT d1 AS u, d2 AS v FROM prs UNION SELECT d2, d1 FROM prs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+""".strip()
+
+
 TEXT_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -467,6 +550,7 @@ TEXT_QUERIES = {
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_fingerprint,
     "token_top_terms": q_token_top_terms,
+    "dup_clusters": q_dup_clusters,
 }
 
 TEXT_ORACLES = {
@@ -478,4 +562,5 @@ TEXT_ORACLES = {
     "doc_stats": ORACLE_DOC_STATS,
     "lang_guess": ORACLE_LANG_GUESS,
     "doc_fingerprint": ORACLE_FINGERPRINT,
+    "dup_clusters": ORACLE_DUP_CLUSTERS,
 }
