@@ -1193,6 +1193,7 @@ ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
         "events_stream_pip": _oracle_events_stream_pip(),
         "resume_rollup": _oracle_pip_quads(small_within_big=False),
         "pip_quad_sample": _oracle_pip_quad_sample(),
+        "wkb_quads_contain_points": _oracle_wkt_quads(),
         "paths_intersect_rects": _oracle_paths_rects(),
         "lines_intersect_rects": _oracle_lines_rects(),
         "tris_contain_points": _oracle_tris_points(),
@@ -1822,6 +1823,40 @@ def q_resume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runner.read(spark).select("big_id", "small_id")
 
 
+def q_wkb_quads_contain_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB SOURCE end-to-end (the reference generator's binary format,
+    gen_test.py:25-33): supplier rhombi built as closed polygon rings
+    from integer keys, serialized to standard little-endian WKB
+    (wkb.to_wkb), parsed back (wkb.from_wkb), indexed, and joined
+    against customer points. IEEE bytes roundtrip exactly, so the
+    oracle computes containment directly from the keys — same SQL twin
+    as the WKT row."""
+    from .wkb import from_wkb, to_wkb
+
+    k = "s_suppkey"
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        f"{k} AS id",
+        f"CAST({WCX.format(k=k)} AS DOUBLE) AS cx",
+        f"CAST({WCY.format(k=k)} AS DOUBLE) AS cy",
+        f"CAST({WQA.format(k=k)} AS DOUBLE) AS a",
+        f"CAST({WQB.format(k=k)} AS DOUBLE) AS b",
+    ).selectExpr(
+        "id", "3 AS kind",
+        "array(cx + a, cy, cx, cy + b, cx - a, cy, cx, cy - b, cx + a, cy) AS coords",
+        "array(0) AS rings",
+    )
+    quads = from_wkb(to_wkb(sup).drop("kind", "coords", "rings")) \
+        .select("id", "kind", "coords", "rings")
+    kc = "c_custkey"
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        f"{kc} AS id", "0 AS kind",
+        f"array(CAST({WCX.format(k=kc)} AS DOUBLE), CAST({WCY.format(k=kc)} AS DOUBLE)) AS coords",
+        "CAST(NULL AS array<int>) AS rings",
+    )
+    idx = SpatialIndex.build(spark, quads, validate=False)
+    return idx.spatial_join(pts, how="contains", validate=False, big_kinds={0})
+
+
 def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert storage-clustering key (catalog.with_hilbert_key — the
     reference's packed-Hilbert bulk-load ordering as a parquet
@@ -1919,5 +1954,6 @@ QUERIES = {
     "events_stream_pip": q_events_stream_pip,
     "resume_rollup": q_resume_rollup,
     "pip_quad_sample": q_pip_quad_sample,
+    "wkb_quads_contain_points": q_wkb_quads_contain_points,
     **TEXT_QUERIES,
 }
