@@ -148,6 +148,91 @@ def with_hilbert_key(df: DataFrame, grid: Grid, res: int = H_RES,
     return df.withColumn("hkey", hk)
 
 
+def _d2xy(res: int, d: int):
+    """Inverse Hilbert: curve position -> cell coords (classic loop)."""
+    x = y = 0
+    t = d
+    s = 1
+    while s < (1 << res):
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+def hilbert_ranges(res: int, cx0: int, cx1: int, cy0: int, cy1: int) -> list:
+    """Decompose the inclusive cell-rect [cx0..cx1] x [cy0..cy1] into
+    the MINIMAL set of contiguous hkey intervals [(d_lo, d_hi), ...].
+
+    Quadtree descent in curve order: every Hilbert subtree of size s
+    occupies one ALIGNED s x s square, so each node needs one _d2xy
+    call (first cell -> align down) plus a rect test — emit the whole
+    subtree interval when the square is inside the query, recurse when
+    it straddles, skip when disjoint. O(perimeter * res) nodes,
+    driver-side. Adjacent intervals are merged, so a query rect
+    becomes FEW long ranges — the property that makes Hilbert beat
+    Morton for range scans (Z-order's diagonal jumps fragment the
+    cover into many short runs)."""
+    out: list = []
+
+    def rec(d0: int, size: int) -> None:
+        x, y = _d2xy(res, d0)
+        sx, sy = x & ~(size - 1), y & ~(size - 1)
+        if sx > cx1 or sx + size - 1 < cx0 or sy > cy1 or sy + size - 1 < cy0:
+            return
+        if cx0 <= sx and sx + size - 1 <= cx1 and cy0 <= sy and sy + size - 1 <= cy1:
+            out.append((d0, d0 + size * size - 1))
+            return
+        h = size // 2
+        for i in range(4):
+            rec(d0 + i * h * h, h)
+
+    rec(0, 1 << res)
+    merged: list = []
+    for lo, hi in out:  # descent emits in increasing-d order
+        if merged and merged[-1][1] + 1 == lo:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def read_geo_extent_hilbert(spark: SparkSession, path: str, grid: Grid, extent,
+                            res: int = PARTITION_RES,
+                            h_res: int = Z_RES) -> DataFrame:
+    """Extent-restricted read of a hilbert-clustered table: cell_p
+    directory pruning (like read_geo_extent) PLUS `hkey BETWEEN`
+    interval disjuncts from hilbert_ranges — within the surviving
+    files these hit the parquet row-group min/max stats of the sorted
+    hkey column, so row groups outside the extent are never
+    decompressed (zone-map pruning, the per-file complement to
+    directory pruning). Returns exactly the rows whose bbox-center
+    cell at ``h_res`` intersects the extent's cell cover (a superset
+    of the exact-geometry result at cell granularity, like
+    read_geo_extent)."""
+    x0, y0, x1, y1 = extent
+    n = 1 << h_res
+    cw, ch = grid.cell_size(h_res)
+    cx0 = max(0, min(n - 1, int((x0 - grid.x0) / cw)))
+    cx1 = max(0, min(n - 1, int((x1 - grid.x0) / cw)))
+    cy0 = max(0, min(n - 1, int((y0 - grid.y0) / ch)))
+    cy1 = max(0, min(n - 1, int((y1 - grid.y0) / ch)))
+    base = read_geo_extent(spark, path, grid, extent, res)
+    ranges = hilbert_ranges(h_res, cx0, cx1, cy0, cy1)
+    pred = None
+    for lo, hi in ranges:
+        c = F.col("hkey").between(int(lo), int(hi))
+        pred = c if pred is None else (pred | c)
+    return base.where(pred if pred is not None else F.lit(False))
+
+
 def write_geo_table_clustered(df: DataFrame, path: str, grid: Grid,
                               res: int = PARTITION_RES, z_res: int = Z_RES,
                               mode: str = "overwrite",

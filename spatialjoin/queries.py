@@ -1194,6 +1194,7 @@ ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
         "resume_rollup": _oracle_pip_quads(small_within_big=False),
         "pip_quad_sample": _oracle_pip_quad_sample(),
         "wkb_quads_contain_points": _oracle_wkt_quads(),
+        "hilbert_extent_scan": _oracle_hilbert_extent(),
         "paths_intersect_rects": _oracle_paths_rects(),
         "lines_intersect_rects": _oracle_lines_rects(),
         "tris_contain_points": _oracle_tris_points(),
@@ -1823,6 +1824,59 @@ def q_resume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runner.read(spark).select("big_id", "small_id")
 
 
+_GEO_HTBL_DIR: list = []  # stable hilbert-extent staging dir (atexit-cleaned)
+
+
+def q_hilbert_extent_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP storage read: part rects written hilbert-clustered,
+    then read extent-restricted through read_geo_extent_hilbert —
+    cell_p directory pruning PLUS `hkey BETWEEN` disjuncts from
+    hilbert_ranges, which hit the sorted hkey column's parquet
+    row-group min/max stats (row groups outside the window are never
+    decompressed; pruning counts pinned by tests/test_catalog.py).
+    Result = rows whose bbox-center cell at Z_RES sits in the extent's
+    cell cover; the oracle derives the same cell window from the keys."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .catalog import read_geo_extent_hilbert, write_geo_table_clustered
+    from .grid import Grid
+
+    grid = Grid(TILE_EXTENT)
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    if not _GEO_HTBL_DIR:
+        d = tempfile.mkdtemp(prefix="geo_htbl_")
+        _GEO_HTBL_DIR.append(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    path = _GEO_HTBL_DIR[0]
+    write_geo_table_clustered(rects, path, grid, mode="overwrite",
+                              order="hilbert")
+    out = read_geo_extent_hilbert(spark, path, grid, (-4.0, -4.0, 4.0, 4.0))
+    return out.select("id")
+
+
+def _oracle_hilbert_extent() -> str:
+    px, py = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra, rb = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    # catalog constants: Z_RES=10 over TILE_EXTENT (-16..16): n=1024,
+    # cell 0.03125 (exact binary); window (-4,-4,4,4) -> cells
+    # [384, 640] per axis (int((4+16)/0.03125) = 640 — window edge ON a
+    # cell boundary, same truncation read_geo_extent_hilbert computes)
+    return f"""
+WITH c AS (SELECT p_partkey,
+                  ((({px}) - ({ra})) + (({px}) + ({ra}))) / 2e0 AS cx0,
+                  ((({py}) - ({rb})) + (({py}) + ({rb}))) / 2e0 AS cy0
+           FROM part),
+cells AS (SELECT p_partkey,
+                 greatest(0, least(1023, CAST(floor((cx0 - (-16e0)) / 0.03125) AS BIGINT))) AS cx,
+                 greatest(0, least(1023, CAST(floor((cy0 - (-16e0)) / 0.03125) AS BIGINT))) AS cy
+          FROM c)
+SELECT p_partkey AS id FROM cells
+WHERE cx BETWEEN 384 AND 640 AND cy BETWEEN 384 AND 640
+""".strip()
+
+
 def q_wkb_quads_contain_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKB SOURCE end-to-end (the reference generator's binary format,
     gen_test.py:25-33): supplier rhombi built as closed polygon rings
@@ -1955,5 +2009,6 @@ QUERIES = {
     "resume_rollup": q_resume_rollup,
     "pip_quad_sample": q_pip_quad_sample,
     "wkb_quads_contain_points": q_wkb_quads_contain_points,
+    "hilbert_extent_scan": q_hilbert_extent_scan,
     **TEXT_QUERIES,
 }

@@ -240,3 +240,98 @@ def test_extent_read_prunes_files(spark):
 
     import shutil
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_hilbert_ranges_exact_cover_and_minimal(spark):
+    """hilbert_ranges == the exact cell set of the rect (exhaustive,
+    random rects at res 5), intervals sorted/disjoint/merged; and on
+    the same rects the Hilbert cover uses <= as many runs as Z-order
+    (usually strictly fewer) — the locality claim, quantified."""
+    from spatialjoin.catalog import _d2xy, hilbert_ranges
+
+    def xy2d(res, cx, cy):
+        return _xy2d(res, cx, cy)
+
+    def zkey(res, cx, cy):
+        z = 0
+        for b in range(res):
+            z |= ((cx >> b) & 1) << (2 * b + 1)
+            z |= ((cy >> b) & 1) << (2 * b)
+        return z
+
+    rng = random.Random(31)
+    res, n = 5, 32
+    h_fewer = z_fewer = 0
+    for _ in range(40):
+        cx0 = rng.randint(0, n - 1); cx1 = rng.randint(cx0, n - 1)
+        cy0 = rng.randint(0, n - 1); cy1 = rng.randint(cy0, n - 1)
+        ranges = hilbert_ranges(res, cx0, cx1, cy0, cy1)
+        want = {xy2d(res, x, y)
+                for x in range(cx0, cx1 + 1) for y in range(cy0, cy1 + 1)}
+        got = set()
+        prev_hi = -2
+        for lo, hi in ranges:
+            assert lo > prev_hi + 1, "intervals must be merged and sorted"
+            prev_hi = hi
+            got |= set(range(lo, hi + 1))
+        assert got == want
+        # roundtrip sanity: d2xy inverts xy2d on this rect
+        for d in list(want)[:5]:
+            x, y = _d2xy(res, d)
+            assert xy2d(res, x, y) == d
+        zs = sorted(zkey(res, x, y)
+                    for x in range(cx0, cx1 + 1) for y in range(cy0, cy1 + 1))
+        z_runs = 1 + sum(1 for a, b in zip(zs, zs[1:]) if b != a + 1)
+        if len(ranges) < z_runs:
+            h_fewer += 1
+        elif z_runs < len(ranges):
+            z_fewer += 1
+    assert h_fewer > z_fewer, (h_fewer, z_fewer)
+
+
+def test_read_geo_extent_hilbert_rows_and_rowgroup_pruning(spark, tmp_path):
+    """read_geo_extent_hilbert returns exactly the rows whose center
+    cell sits in the extent's cell cover, and the hkey intervals prune
+    parquet ROW GROUPS inside surviving files (zone-map check against
+    the real written stats)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spatialjoin.catalog import (H_RES, Z_RES, hilbert_ranges,
+                                     read_geo_table,
+                                     read_geo_extent_hilbert,
+                                     write_geo_table_clustered)
+
+    rng = random.Random(41)
+    rows = [(POINT, [rng.uniform(-9, 9), rng.uniform(-9, 9)]) for _ in range(6000)]
+    df = geoms_to_df(spark, rows)
+    grid = Grid((-10.0, -10.0, 10.0, 10.0))
+    path = str(tmp_path / "geo_hx")
+    write_geo_table_clustered(df, path, grid, order="hilbert")
+
+    ext = (-3.0, -1.0, 2.0, 4.0)
+    got = {r.id for r in read_geo_extent_hilbert(spark, path, grid, ext).collect()}
+    n = 1 << Z_RES
+    cw, ch = grid.cell_size(Z_RES)
+    cx0 = int((ext[0] - grid.x0) / cw); cx1 = int((ext[2] - grid.x0) / cw)
+    cy0 = int((ext[1] - grid.y0) / ch); cy1 = int((ext[3] - grid.y0) / ch)
+    want = set()
+    for i, (_, (x, y)) in enumerate(rows):
+        cx = max(0, min(n - 1, int((x - grid.x0) // cw)))
+        cy = max(0, min(n - 1, int((y - grid.y0) // ch)))
+        if cx0 <= cx <= cx1 and cy0 <= cy <= cy1:
+            want.add(i)
+    assert got == want and len(got) > 0
+
+    ranges = hilbert_ranges(Z_RES, cx0, cx1, cy0, cy1)
+    total = survivors = 0
+    for f in glob.glob(f"{path}/cell_p=*/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        hi_idx = md.schema.to_arrow_schema().names.index("hkey")
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(hi_idx).statistics
+            total += 1
+            if any(st.min <= hi and st.max >= lo for lo, hi in ranges):
+                survivors += 1
+    assert survivors < total, (survivors, total)
