@@ -40,6 +40,37 @@ def __getattr__(name):
         from .tiles import assign_tiles
 
         return assign_tiles
+    if name in ("cut_tiles", "slab_pixel_sums"):
+        from . import tiles
+
+        return getattr(tiles, name)
+    if name in ("from_wkt", "to_wkt"):
+        from . import wkt
+
+        return getattr(wkt, name)
+    if name in ("from_wkb", "to_wkb"):
+        from . import wkb
+
+        return getattr(wkb, name)
+    if name in ("with_hilbert_key", "with_zorder_key", "hilbert_ranges",
+                "write_geo_table", "write_geo_table_clustered",
+                "read_geo_table", "read_geo_extent", "read_geo_extent_hilbert"):
+        from . import catalog
+
+        return getattr(catalog, name)
+    if name in ("dup_clusters",):
+        from .textops import dup_clusters
+
+        return dup_clusters
+    if name in ("stream_points_in_rects", "enrich_stream_with_index",
+                "windowed_cell_counts"):
+        from . import streaming
+
+        return getattr(streaming, name)
+    if name == "ResumableRun":
+        from .checkpoint import ResumableRun
+
+        return ResumableRun
     raise AttributeError(name)
 
 
@@ -48,6 +79,25 @@ __all__ = [
     "Config",
     "knn_join",
     "assign_tiles",
+    "cut_tiles",
+    "slab_pixel_sums",
+    "from_wkt",
+    "to_wkt",
+    "from_wkb",
+    "to_wkb",
+    "with_hilbert_key",
+    "with_zorder_key",
+    "hilbert_ranges",
+    "write_geo_table",
+    "write_geo_table_clustered",
+    "read_geo_table",
+    "read_geo_extent",
+    "read_geo_extent_hilbert",
+    "dup_clusters",
+    "stream_points_in_rects",
+    "enrich_stream_with_index",
+    "windowed_cell_counts",
+    "ResumableRun",
     "validate_geoms",
     "POINT",
     "LINE",
