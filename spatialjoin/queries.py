@@ -1195,6 +1195,7 @@ ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
         "pip_quad_sample": _oracle_pip_quad_sample(),
         "wkb_quads_contain_points": _oracle_wkt_quads(),
         "hilbert_extent_scan": _oracle_hilbert_extent(),
+        "knn_images": _oracle_knn_images(),
         "paths_intersect_rects": _oracle_paths_rects(),
         "lines_intersect_rects": _oracle_lines_rects(),
         "tris_contain_points": _oracle_tris_points(),
@@ -1824,6 +1825,42 @@ def q_resume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runner.read(spark).select("big_id", "small_id")
 
 
+def q_knn_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN ON the north-rule image table (the BASELINE metric names
+    'PIP + kNN + tile-assign on the image+caption table'; images_pipeline
+    covers PIP + tiles, this row covers kNN): k=5 nearest caption
+    points per caption point through the full ring-expansion kNN join.
+    Coordinates take the exact %.6f caption-text roundtrip
+    (CAST(printf(...)) in the oracle, regexp parse in the engine), so
+    distances are bit-identical and the windowed tie-break
+    (distance, small_id) is deterministic in both engines."""
+    from .images import caption_points, synth_images
+    from .knn import knn_join
+
+    imgs = synth_images(spark, 512)
+    pts = caption_points(imgs)
+    return knn_join(spark, pts, pts, k=5, validate=False, big_kinds={0})
+
+
+def _oracle_knn_images(n: int = 512, k: int = 5) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+pts AS (
+  SELECT i AS id,
+         CAST(printf('%.6f', ((i * 2654435761) % 1000000) / 1e6 * 20e0 - 10e0) AS DOUBLE) AS px,
+         CAST(printf('%.6f', ((i * 40503) % 1000000) / 1e6 * 20e0 - 10e0) AS DOUBLE) AS py
+  FROM ids),
+d AS (
+  SELECT b.id AS big_id, s.id AS small_id,
+         sqrt((s.px - b.px) * (s.px - b.px) + (s.py - b.py) * (s.py - b.py)) AS distance
+  FROM pts b, pts s),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY big_id ORDER BY distance, small_id) AS rnk
+  FROM d)
+SELECT big_id, small_id, distance, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {k}
+""".strip()
+
+
 _GEO_HTBL_DIR: list = []  # stable hilbert-extent staging dir (atexit-cleaned)
 
 
@@ -2010,5 +2047,6 @@ QUERIES = {
     "pip_quad_sample": q_pip_quad_sample,
     "wkb_quads_contain_points": q_wkb_quads_contain_points,
     "hilbert_extent_scan": q_hilbert_extent_scan,
+    "knn_images": q_knn_images,
     **TEXT_QUERIES,
 }
