@@ -24,6 +24,9 @@ Methodology (each choice exists to make the comparison honest):
     (real 100 TB scans have thousands of tasks);
   * per-query time = best of 2 after a full warmup pass, best over 3
     interleaved cluster launches per level;
+  * shuffle partitions are pinned to 128 at BOTH levels (data-sized,
+    like a real same-input N-vs-4N comparison), not the session
+    default 2x-cores, which would hand each level a different plan;
   * result row counts are asserted identical across levels;
   * the machine's own parallel ceiling is measured with a pure-CPU
     burn and reported next to the engine numbers (a 32-core VM that
@@ -92,7 +95,12 @@ def worker(cpus: int) -> None:
 
     # N executors x 4 cores, one JVM each (see module docstring)
     os.environ.setdefault("SPARK_GRAFT_MASTER", f"local-cluster[{cpus // 4},4,6144]")
-    spark = get_spark(cpus=cpus, app=f"scaling-{cpus}")
+    # scale-INVARIANT shuffle partitioning: partition count follows the
+    # DATA (identical input at both levels -> identical plan), not the
+    # core count — the default 2x-cores sizing gave the levels different
+    # exchanges (16 vs 64), the same unfairness the r4 salt fix removed
+    # for cogroup. 128 = 4 waves at 32 cores; AQE coalesces at 8.
+    spark = get_spark(cpus=cpus, app=f"scaling-{cpus}", shuffle_partitions=128)
     spark.sparkContext.setLogLevel("ERROR")
 
     def rep(df, f):
