@@ -62,6 +62,10 @@ def __getattr__(name):
         from .textops import dup_clusters
 
         return dup_clusters
+    if name in ("image_features", "variant_phash"):
+        from . import multimodal
+
+        return getattr(multimodal, name)
     if name in ("stream_points_in_rects", "enrich_stream_with_index",
                 "windowed_cell_counts"):
         from . import streaming
@@ -94,6 +98,8 @@ __all__ = [
     "read_geo_extent",
     "read_geo_extent_hilbert",
     "dup_clusters",
+    "image_features",
+    "variant_phash",
     "stream_points_in_rects",
     "enrich_stream_with_index",
     "windowed_cell_counts",

@@ -78,13 +78,20 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
 
 def phash64(pixels: np.ndarray) -> int:
     """Average-hash: mean-pool the gray image to 8x8, threshold at the
-    mean, pack 64 bits (deterministic, pure numpy)."""
-    gray = pixels.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
-    # integer-block mean-pool to 8x8 (trim to multiples of 8)
+    mean, pack 64 bits (deterministic, pure numpy).
+
+    Exact INTEGER arithmetic (r5): with equal-size blocks,
+    blockmean(gray) > mean(gray)  <=>  64 * blocksum > totalsum over
+    integer channel sums — the same bits as the float form in exact
+    math, but bit-reproducible in any engine with int64 (the DuckDB
+    oracle of q_phash_near_dup re-derives it in pure SQL), and free of
+    float-rounding ambiguity at exact ties."""
+    s3 = np.asarray(pixels).astype(np.int64).sum(axis=2)
+    h, w = s3.shape
+    # integer-block sum-pool to 8x8 (trim to multiples of 8)
     bh, bw = h // 8, w // 8
-    g = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
-    bits = (g > g.mean()).ravel()
+    B = s3[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).sum(axis=(1, 3))
+    bits = (64 * B > B.sum()).ravel()
     # packbits is MSB-first per byte; big-endian byte order makes this
     # identical to the sequential (v << 1) | bit fold
     v = int.from_bytes(np.packbits(bits).tobytes(), "big")

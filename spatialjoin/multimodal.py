@@ -73,13 +73,14 @@ FEATURE_SCHEMA = T.StructType(
 
 def _phash64_batch(stack_u8: np.ndarray) -> np.ndarray:
     """Vectorized phash64 over a (k, h, w, 3) uint8 stack; bit-identical
-    to per-image images.phash64 (same contiguous slice layout, so every
-    per-image reduction runs over the identical memory pattern)."""
-    gray = stack_u8.astype(np.float64).mean(axis=3)
-    k, h, w = gray.shape
+    to per-image images.phash64 (same exact-integer 64*blocksum >
+    totalsum rule, so equality holds by construction, not by float
+    luck)."""
+    s3 = stack_u8.astype(np.int64).sum(axis=3)
+    k, h, w = s3.shape
     bh, bw = h // 8, w // 8
-    g = gray[:, : bh * 8, : bw * 8].reshape(k, 8, bh, 8, bw).mean(axis=(2, 4))
-    bits = (g > g.mean(axis=(1, 2), keepdims=True)).reshape(k, 64)
+    B = s3[:, : bh * 8, : bw * 8].reshape(k, 8, bh, 8, bw).sum(axis=(2, 4))
+    bits = (64 * B > B.sum(axis=(1, 2), keepdims=True)).reshape(k, 64)
     packed = np.packbits(bits, axis=1)  # MSB-first per byte, like phash64
     return np.frombuffer(packed.tobytes(), dtype=">i8").copy()
 
@@ -124,6 +125,44 @@ def image_features(images_df: DataFrame) -> DataFrame:
             yield pd.concat(parts, ignore_index=True)
 
     return images_df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(fn, FEATURE_SCHEMA)
+
+
+VHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("vhash", T.LongType(), False),
+    ]
+)
+
+
+def variant_phash(images_df: DataFrame) -> DataFrame:
+    """Perceptual hash of each image's 32-level re-quantized variant —
+    the q8-roundtrip "lossy copy" of the image, the thing a near-dup
+    pass must match back to its original. phash is invariant to affine
+    pixel maps (the threshold compares 64*blocksum against the global
+    sum), so phash(decode(q8(px))) == phash(px >> 3); both formats thus
+    reduce to codes = pixel >> 3, and q8 blobs ALREADY store those
+    codes — no decode pass needed. Same batched same-shape stacking as
+    image_features: one vectorized reduction per (w, h, fmt) group, no
+    per-row Python."""
+
+    def fn(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for (w, h, fmt), grp in pdf.groupby(["w", "h", "fmt"], sort=False):
+                k = len(grp)
+                stack = np.frombuffer(
+                    b"".join(grp["bytes"]), dtype=np.uint8
+                ).reshape(k, h, w, 3)
+                codes = (stack >> 3) if fmt == "raw" else stack
+                vh = _phash64_batch(codes)
+                ids = grp["image_id"].str.slice(3).astype(np.int64)
+                parts.append(pd.DataFrame({"id": ids.to_numpy(), "vhash": vh}))
+            yield pd.concat(parts, ignore_index=True)
+
+    return images_df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(fn, VHASH_SCHEMA)
 
 
 # -- audio: real numpy codecs --------------------------------------------------

@@ -1187,6 +1187,7 @@ ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
 """.strip(),
         "images_pipeline": oracle_images_pipeline(),
         "av_pipeline": _oracle_av_pipeline(),
+        "phash_near_dup": _oracle_phash_near_dup(),
         "tile_pixels": _oracle_tile_pixels(),
         "q8_psnr": _oracle_q8_psnr(),
         "hilbert_key": _oracle_hilbert_key(),
@@ -1611,6 +1612,127 @@ SELECT p.clip_id, p.codec,
        CAST(p.ns AS BIGINT) * p.peak * p.peak AS energy,
        v.v_frames, v.v_pixsum
 FROM p JOIN v ON p.clip_id = v.clip_id
+""".strip()
+
+
+PHASH_BANDS = 4
+PHASH_HAMMING = 3
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup by perceptual hash: each original's stored phash
+    vs the phash of its 32-level re-quantized variant
+    (multimodal.variant_phash — the lossy q8-roundtrip copy of the
+    image), matched by a banded 64-bit Hamming join (4 x 16-bit bands;
+    pigeonhole-complete at Hamming <= PHASH_HAMMING — the simhash
+    machinery applied to the image payload). IDs: original = row
+    index, variant = index + n. The DuckDB oracle re-derives BOTH
+    fingerprints from the deterministic pixel formula with exact
+    integer arithmetic (phash64's 64*blocksum > totalsum rule, bit-
+    reproducible in SQL) and then replicates the banding — the full
+    row set matches hash-exact, including which >3-Hamming pairs the
+    banding drops.
+
+    100 TB shape: fingerprints are ONE vectorized pass over the blobs
+    (q8 blobs already store the 5-bit codes — zero decode work); the
+    match is a band-key equi-join, never all-pairs, with the same
+    N <= ~1e8-per-band bound and documented Manku-rotation escape
+    hatch as q_simhash_pairs (textops.py)."""
+    from .images import synth_images
+    from .multimodal import variant_phash
+
+    n = 256
+    imgs = synth_images(spark, n).persist()
+    i = F.substring("image_id", 4, 12).cast("long")
+    orig = imgs.select(i.alias("fid"), F.col("phash").alias("ph"))
+    vari = variant_phash(imgs).select(
+        (F.col("id") + n).alias("fid"), F.col("vhash").alias("ph"))
+    # persist the 16-byte-per-row fingerprints so the decode pass runs
+    # ONCE; band via explode (one JVM generate), not a per-band union —
+    # a union re-scans (and would re-decode) the fingerprint frame
+    # PHASH_BANDS times per join side (caught in PLANS.md plan review)
+    fp = orig.unionByName(vari).persist()
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("ph"), 16 * b).bitwiseAND(F.lit(65535)).alias("band_key"),
+        )
+        for b in range(PHASH_BANDS)
+    ])
+    bands = fp.select("fid", "ph", F.explode(band_arr).alias("bk")).select(
+        "fid", "ph", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.fid") < F.col("y.fid")),
+        )
+        .select(
+            F.col("x.fid").alias("id1"), F.col("y.fid").alias("id2"),
+            F.col("x.ph").alias("pa"), F.col("y.ph").alias("pb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return cand.where(ham <= PHASH_HAMMING).select(
+        "id1", "id2", ham.cast("int").alias("hamming"))
+
+
+def _oracle_phash_near_dup(n: int = 256) -> str:
+    # the packed int64: bit j contributes 1 << (63 - j); j = 0 is the
+    # sign bit, spelled overflow-safe like the simhash oracle
+    def packed(b_col: str, t_col: str) -> str:
+        return "CAST(sum(CASE WHEN 64 * " + b_col + " > " + t_col + " THEN " + \
+            "CASE WHEN j = 0 THEN (-9223372036854775807 - 1) " + \
+            "ELSE (CAST(1 AS BIGINT) << (63 - j)) END ELSE 0 END) AS BIGINT)"
+
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT fid, ph, {b} AS band, (ph >> {16 * b}) & 65535 AS band_key FROM fp"
+        for b in range(PHASH_BANDS)
+    )
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+img AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+         CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 48 END AS h,
+         ((i * 2654435761) & 2147483647) AS base
+  FROM ids
+),
+ser AS (SELECT unnest(generate_series(0, 64 * 48 * 3 - 1)) AS n_),
+px AS (
+  SELECT i,
+         (((n_ // 3) // w) // (h // 8)) * 8 + ((n_ // 3) % w) // (w // 8) AS j,
+         (base + n_ * 2246822519) % 256 AS p
+  FROM img, ser
+  WHERE n_ < w * h * 3
+    AND (n_ // 3) // w < (h // 8) * 8 AND (n_ // 3) % w < (w // 8) * 8
+),
+sums AS (SELECT i, j, sum(p) AS bo, sum(p // 8) AS bv FROM px GROUP BY i, j),
+tot AS (SELECT i, sum(bo) AS t_o, sum(bv) AS t_v FROM sums GROUP BY i),
+ph0 AS (
+  SELECT s.i,
+         {packed("bo", "t_o")} AS po,
+         {packed("bv", "t_v")} AS pv
+  FROM sums s JOIN tot t ON s.i = t.i GROUP BY s.i
+),
+fp AS (
+  SELECT i AS fid, po AS ph FROM ph0
+  UNION ALL
+  SELECT i + {n} AS fid, pv AS ph FROM ph0
+),
+bands AS (
+{band_sel}
+),
+cand AS (
+  SELECT DISTINCT x.fid AS id1, y.fid AS id2, x.ph AS pa, y.ph AS pb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.fid < y.fid
+)
+SELECT id1, id2, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= {PHASH_HAMMING}
 """.strip()
 
 
@@ -2039,6 +2161,7 @@ QUERIES = {
     "unmatched_customers": q_unmatched_customers,
     "images_pipeline": q_images_pipeline,
     "av_pipeline": q_av_pipeline,
+    "phash_near_dup": q_phash_near_dup,
     "tile_pixels": q_tile_pixels,
     "q8_psnr": q_q8_psnr,
     "hilbert_key": q_hilbert_key,

@@ -48,6 +48,24 @@ def test_image_features_phash_integrity(spark):
     imgs.unpersist()
 
 
+def test_variant_phash_matches_scalar(spark):
+    """variant_phash (batched, both formats) == scalar phash64 over the
+    32-level codes; and phash is affine-invariant, so hashing the
+    decoded q8 floats gives the identical bits as hashing the codes."""
+    from spatialjoin.images import _pixels_for, phash64, quantize_q8
+    from spatialjoin.multimodal import variant_phash
+
+    imgs = synth_images(spark, 64)
+    got = {r.id: r.vhash for r in variant_phash(imgs).collect()}
+    assert len(got) == 64
+    for r in imgs.collect():
+        i = int(r.image_id[3:])
+        px = _pixels_for(i, r.w, r.h)
+        assert got[i] == phash64(px >> 3)
+        dec = decode(quantize_q8(px), "q8", r.w, r.h)
+        assert phash64(dec) == phash64(px >> 3)
+
+
 def test_audio_features_pcm16(spark):
     sig = (np.sin(np.linspace(0, 20, 4000)) * 20000).astype("<i2")
     rows = [("clip0", sig.tobytes(), "pcm16"), ("clip1", b"", "pcm16")]
