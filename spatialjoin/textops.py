@@ -174,14 +174,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = seeded.groupBy("doc_id").agg(
         *[F.min(F.when(F.col("seed") == i, F.col("m"))).alias(f"h{i}") for i in range(N_HASHES)]
     )
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "doc_id",
+    # band via ONE explode over a persisted frame: the union-of-bands
+    # form re-evaluated the whole signature aggregation once per band
+    # per join side (8x the minhash compute — sig was never cached)
+    band_arr = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
             F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("key"),
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for b in range(N_BANDS)
+    ])
+    bands = sig.select("doc_id", F.explode(band_arr).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    ).persist()
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -303,11 +308,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented next step, not implemented."""
     docs = _docs(spark, sf_dir)
     simdf = _simhash_bits_spark(docs).persist()
-    bands = None
-    for b in range(SIMHASH_BANDS):
-        key = F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(65535)).alias("band_key")
-        part = simdf.select("doc_id", "simhash", F.lit(b).alias("band"), key)
-        bands = part if bands is None else bands.unionByName(part)
+    # one explode beats a 4-way union of cache scans (same rows; the
+    # plan keeps a single InMemoryTableScan per join side)
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(65535)).alias("band_key"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ])
+    bands = simdf.select("doc_id", "simhash", F.explode(band_arr).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
