@@ -66,8 +66,8 @@ def __getattr__(name):
         from . import multimodal
 
         return getattr(multimodal, name)
-    if name in ("stream_points_in_rects", "enrich_stream_with_index",
-                "windowed_cell_counts"):
+    if name in ("stream_points_in_rects", "stream_points_in_geoms",
+                "enrich_stream_with_index", "windowed_cell_counts"):
         from . import streaming
 
         return getattr(streaming, name)
@@ -101,6 +101,7 @@ __all__ = [
     "image_features",
     "variant_phash",
     "stream_points_in_rects",
+    "stream_points_in_geoms",
     "enrich_stream_with_index",
     "windowed_cell_counts",
     "ResumableRun",

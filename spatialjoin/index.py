@@ -309,15 +309,22 @@ def _slim_probe_batch(col, slim):
     )
 
 
-def _arrow_point_refine(bc, mode, how=None, max_d=None, slim="point"):
+def _arrow_point_refine(bc, mode, how=None, max_d=None, slim="point",
+                        carry=()):
     """mapInArrow refine for slim (point/rect) probes with a broadcast
     small side: primitive columns cross the boundary as raw Arrow
     buffers with no pandas materialization on either side (measured:
     the pandas conversion is a large share of the exchange cost and
-    scales worse than the buffers themselves)."""
+    scales worse than the buffers themselves).
+
+    ``carry``: extra input column names passed through to matching
+    output rows unchanged (type-preserving Arrow filter) — lets a
+    STREAMING caller keep its payload through the refine, where a
+    post-refine stream-stream re-join would be unsupported."""
 
     def fn(it):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         ids_geo, A = bc.value
         for batch in it:
@@ -337,18 +344,20 @@ def _arrow_point_refine(bc, mode, how=None, max_d=None, slim="point"):
                     mask = kernels.contains(A, ai, B, bi)
                 else:  # within: big contains small (src/index.rs:528-533)
                     mask = kernels.contains(B, bi, A, ai)
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(bid[mask]), pa.array(sid[mask])],
-                    names=["big_id", "small_id"],
-                )
+                arrays = [pa.array(bid[mask]), pa.array(sid[mask])]
+                names = ["big_id", "small_id"]
             else:
                 d = kernels.distance(A, ai, B, bi)
                 assert np.isfinite(d).all(), "non-finite distance (index.rs:436)"
                 mask = d <= max_d
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(bid[mask]), pa.array(sid[mask]), pa.array(d[mask])],
-                    names=["big_id", "small_id", "distance"],
-                )
+                arrays = [pa.array(bid[mask]), pa.array(sid[mask]),
+                          pa.array(d[mask])]
+                names = ["big_id", "small_id", "distance"]
+            pamask = pa.array(mask)
+            for nm in carry:
+                arrays.append(pc.filter(col[nm], pamask))
+                names.append(nm)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return fn
 

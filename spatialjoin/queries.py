@@ -1192,6 +1192,7 @@ ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
         "q8_psnr": _oracle_q8_psnr(),
         "hilbert_key": _oracle_hilbert_key(),
         "events_stream_pip": _oracle_events_stream_pip(),
+        "events_stream_pip_poly": _oracle_events_stream_pip_poly(),
         "resume_rollup": _oracle_pip_quads(small_within_big=False),
         "pip_quad_sample": _oracle_pip_quad_sample(),
         "wkb_quads_contain_points": _oracle_wkt_quads(),
@@ -1376,6 +1377,86 @@ r AS (
 SELECT r.p_partkey, count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM pts, r
 WHERE x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax
+GROUP BY 1
+""".strip()
+
+
+def q_events_stream_pip_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING spatial join with the KERNEL refine (r5): the events
+    table replayed through a real file stream (trigger=availableNow) as
+    a POINT stream, exact-joined against a STATIC supplier-QUAD
+    SpatialIndex via streaming.stream_points_in_geoms — cell equi-join
+    + bbox prune (JVM) + ONE stateless mapInArrow point-in-polygon
+    refine over the broadcast quads, on a streaming DataFrame — then
+    rolled up per quad in complete mode. Extends events_stream_pip
+    (pure-JVM, rect-only) to arbitrary small geometries: stream =
+    batch, so the DuckDB twin is the strict-interior PIP aggregate."""
+    from .streaming import stream_points_in_geoms
+
+    px, py = PX.format(k="event_id"), PY.format(k="event_id")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    import os
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="events_stream_pip_poly_")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    ev = stream.selectExpr(
+        "event_id", f"({px}) AS x", f"({py}) AS y",
+        "CAST(round(value * 100e0) AS BIGINT) AS cents",
+    )
+    quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    idx = SpatialIndex.build(spark, quads, validate=False, broadcast=True)
+    # the payload rides THROUGH the refine (carry=) — a post-refine
+    # stream-stream re-join is unsupported in complete output mode
+    joined = stream_points_in_geoms(ev, idx, how="contains",
+                                    carry=("cents",))
+    agg = (
+        joined.groupBy("small_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("cents").alias("sum_cents"))
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"events_stream_pip_poly_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import shutil
+
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        raise RuntimeError(
+            "events_stream_pip_poly: availableNow stream did not "
+            "terminate within 300s — refusing to read a partial sink"
+        )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    idx.unpersist()
+    return spark.table(name).selectExpr(
+        "small_id AS s_suppkey", "n_events", "sum_cents",
+    )
+
+
+def _oracle_events_stream_pip_poly() -> str:
+    px_e, py_e = PX.format(k="event_id"), PY.format(k="event_id")
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    return f"""
+WITH pts AS (
+  SELECT {px_e} AS px, {py_e} AS py,
+         CAST(round(value * 100e0) AS BIGINT) AS cents
+  FROM events),
+qds AS (SELECT s_suppkey, {px_s} AS cx, {py_s} AS cy, {a} AS a, {b} AS b FROM supplier)
+SELECT qds.s_suppkey, count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM pts, qds
+WHERE ((cx) - (cx + a)) * (py - cy) - ((cy + b) - cy) * (px - (cx + a)) > 0
+  AND ((cx - a) - cx) * (py - (cy + b)) - (cy - (cy + b)) * (px - cx) > 0
+  AND (cx - (cx - a)) * (py - cy) - ((cy - b) - cy) * (px - (cx - a)) > 0
+  AND ((cx + a) - cx) * (py - (cy - b)) - (cy - (cy - b)) * (px - cx) > 0
 GROUP BY 1
 """.strip()
 
@@ -2166,6 +2247,7 @@ QUERIES = {
     "q8_psnr": q_q8_psnr,
     "hilbert_key": q_hilbert_key,
     "events_stream_pip": q_events_stream_pip,
+    "events_stream_pip_poly": q_events_stream_pip_poly,
     "resume_rollup": q_resume_rollup,
     "pip_quad_sample": q_pip_quad_sample,
     "wkb_quads_contain_points": q_wkb_quads_contain_points,

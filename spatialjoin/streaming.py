@@ -161,3 +161,68 @@ def stream_points_in_rects(events: DataFrame, index: SpatialIndex,
                & (y >= F.col("s_ymin")) & (y <= F.col("s_ymax")))
         .drop("cell", "s_xmin", "s_ymin", "s_xmax", "s_ymax")
     )
+
+
+def stream_points_in_geoms(events: DataFrame, index: SpatialIndex,
+                           x_col: str = "x", y_col: str = "y",
+                           id_col: str = "event_id",
+                           how: str = "contains",
+                           carry: tuple = ()) -> DataFrame:
+    """EXACT streaming spatial join of a point stream against ANY
+    static small side — polygons with holes, triangles, linestrings —
+    via the engine's full filter+refine pipeline on a streaming
+    DataFrame: cell equi-join (filter) + JVM bbox prune + ONE stateless
+    mapInArrow kernel refine over the broadcast small geometries
+    (the same _arrow_point_refine stage the batch broadcast path
+    runs). No state, no watermark requirement — composes with any
+    downstream windowed aggregation. Output: DF[big_id, small_id,
+    *carry] with big_id = the stream's id column; ``carry`` names
+    extra stream columns passed through the refine to matching rows
+    (a post-refine stream-stream re-join would be unsupported in
+    complete output mode).
+
+    Each point covers exactly ONE cell, so candidate pairs are unique
+    by construction (no reference-point dedup stage is needed — same
+    argument as stream_points_in_rects). Stream rows are not validated
+    (validation needs an action); NaN coordinates never match.
+
+    Requires a plain single-level BROADCAST index (small geometries
+    gathered at build) with max_distance=0."""
+    from pyspark.sql import types as T
+
+    from .index import _arrow_point_refine
+
+    if index.max_distance:
+        raise ValueError("stream_points_in_geoms needs max_distance=0 "
+                         "(buffered bboxes would skip the exact refine)")
+    if index.small_fine is not None or index.levels is not None:
+        raise ValueError("stream_points_in_geoms needs a plain "
+                         "single-level index (no hot-split/multilevel)")
+    if index.small_geo_bc is None:
+        raise ValueError("stream_points_in_geoms needs a broadcast "
+                         "index (small geometries gathered at build)")
+    if how not in ("intersects", "contains", "within"):
+        raise ValueError("how must be intersects|contains|within")
+    cells = with_event_cells(events, index.grid, index.resolution, x_col, y_col)
+    small = index.small_cells.select(
+        "cell", "small_id", "s_xmin", "s_ymin", "s_xmax", "s_ymax")
+    x, y = F.col(x_col), F.col(y_col)
+    cand = (
+        cells.join(small, on="cell", how="inner")
+        .where((x >= F.col("s_xmin")) & (x <= F.col("s_xmax"))
+               & (y >= F.col("s_ymin")) & (y <= F.col("s_ymax")))
+        .select(
+            F.col(id_col).cast("long").alias("big_id"), "small_id",
+            x.cast("double").alias("bx"), y.cast("double").alias("by"),
+            *[F.col(c) for c in carry],
+        )
+    )
+    fields = [
+        T.StructField("big_id", T.LongType(), False),
+        T.StructField("small_id", T.LongType(), False),
+    ] + [cand.schema[c] for c in carry]
+    return cand.mapInArrow(
+        _arrow_point_refine(index.small_geo_bc, "join", how=how, slim="point",
+                            carry=tuple(carry)),
+        T.StructType(fields),
+    )

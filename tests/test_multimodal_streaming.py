@@ -400,3 +400,48 @@ def test_stream_points_in_rects_guards_and_batch_equivalence(spark):
             for r in idx.spatial_join(pdf, how="contains", validate=False).collect()}
     idx.unpersist()
     assert got == want and len(got) > 0
+
+
+def test_stream_points_in_geoms_guards_carry_and_batch_equivalence(spark):
+    """stream_points_in_geoms (kernel refine on a stream): (a) refuses
+    buffered and non-broadcast indexes; (b) on a BATCH frame with a
+    polygon small side its id pairs equal the engine's spatial_join
+    contains rows; (c) carried payload columns survive the Arrow
+    refine unchanged on exactly the matching rows."""
+    import random
+
+    import pytest
+
+    from spatialjoin.geom import POINT, POLYGON
+    from spatialjoin.index import SpatialIndex
+    from spatialjoin.sparkutil import geoms_to_df
+    from spatialjoin.streaming import stream_points_in_geoms
+
+    rng = random.Random(11)
+    quads = []
+    for _ in range(120):
+        x, y = rng.uniform(-8, 8), rng.uniform(-8, 8)
+        a, b = rng.uniform(0.1, 0.9), rng.uniform(0.1, 0.9)
+        quads.append((POLYGON, [x + a, y, x, y + b, x - a, y, x, y - b, x + a, y], [0]))
+    pts = [(POINT, [rng.uniform(-9, 9), rng.uniform(-9, 9)]) for _ in range(700)]
+    qdf, pdf = geoms_to_df(spark, quads), geoms_to_df(spark, pts)
+    ev = pdf.selectExpr("id AS event_id", "coords[0] AS x", "coords[1] AS y",
+                        "id * 7 AS payload")
+
+    buffered = SpatialIndex.build(spark, qdf, max_distance=0.5, validate=False)
+    with pytest.raises(ValueError, match="max_distance"):
+        stream_points_in_geoms(ev, buffered)
+    buffered.unpersist()
+    nobc = SpatialIndex.build(spark, qdf, validate=False, broadcast=False)
+    with pytest.raises(ValueError, match="broadcast"):
+        stream_points_in_geoms(ev, nobc)
+    nobc.unpersist()
+
+    idx = SpatialIndex.build(spark, qdf, validate=False, broadcast=True)
+    got = {(r.big_id, r.small_id, r.payload)
+           for r in stream_points_in_geoms(ev, idx, carry=("payload",)).collect()}
+    want = {(r.big_id, r.small_id, r.big_id * 7)
+            for r in idx.spatial_join(pdf, how="contains", validate=False,
+                                      big_kinds={POINT}).collect()}
+    idx.unpersist()
+    assert got == want and len(got) > 0
