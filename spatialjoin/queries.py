@@ -1035,6 +1035,61 @@ FROM pairs JOIN tc ON tc.i = pairs.small_id
 """.strip()
 
 
+def _oracle_zonal_stats() -> str:
+    """PIP-predicate twin of q_zonal_stats (same strict CCW cross
+    products as _oracle_pip_quads) wrapped in the per-zone aggregate.
+    All stats integer-exact; the mean divides the same exact ints."""
+    px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    return f"""
+WITH pts AS (SELECT c_custkey, CAST(c_custkey % 97 AS BIGINT) AS val,
+                    {px_c} AS px, {py_c} AS py FROM customer),
+qds AS (SELECT s_suppkey, {px_s} AS cx, {py_s} AS cy, {a} AS a, {b} AS b FROM supplier),
+pr AS (
+  SELECT qds.s_suppkey AS zone_id, pts.val AS val
+  FROM pts, qds
+  WHERE ((cx) - (cx + a)) * (py - cy) - ((cy + b) - cy) * (px - (cx + a)) > 0
+    AND ((cx - a) - cx) * (py - (cy + b)) - (cy - (cy + b)) * (px - cx) > 0
+    AND (cx - (cx - a)) * (py - cy) - ((cy - b) - cy) * (px - (cx - a)) > 0
+    AND ((cx + a) - cx) * (py - (cy - b)) - (cy - (cy - b)) * (px - cx) > 0)
+SELECT zone_id, COUNT(*) AS n_points,
+       CAST(SUM(val) AS BIGINT) AS sum_val,
+       CAST(MIN(val) AS BIGINT) AS min_val,
+       CAST(MAX(val) AS BIGINT) AS max_val,
+       CAST(CAST(SUM(val) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_val
+FROM pr GROUP BY zone_id
+""".strip()
+
+
+def _oracle_rects_overlap_area() -> str:
+    """Overlay twin of q_rects_overlap_area: the rects_intersect join
+    body plus the identical quantized clipped-area expression text
+    (bit-identical per-pair doubles -> exact bigint -> order-free SUM)."""
+    lk = "(l_orderkey * 10 + l_linenumber)"
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra_p, rb_p = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    px_l, py_l = PX.format(k=lk), PY.format(k=lk)
+    ra_l, rb_l = RA.format(k=lk), RB.format(k=lk)
+    return f"""
+WITH a AS (SELECT p_partkey,
+               ({px_p}) - ({ra_p}) AS xmin, ({py_p}) - ({rb_p}) AS ymin,
+               ({px_p}) + ({ra_p}) AS xmax, ({py_p}) + ({rb_p}) AS ymax FROM part),
+b AS (SELECT {lk} AS lid,
+               ({px_l}) - ({ra_l}) AS xmin, ({py_l}) - ({rb_l}) AS ymin,
+               ({px_l}) + ({ra_l}) AS xmax, ({py_l}) + ({rb_l}) AS ymax FROM lineitem),
+pr AS (
+  SELECT a.p_partkey AS small_id,
+         CAST(floor((least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin)) * (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin)) * 1e12) AS BIGINT) AS area_q
+  FROM a JOIN b
+    ON a.xmin <= b.xmax AND a.xmax >= b.xmin AND a.ymin <= b.ymax AND a.ymax >= b.ymin)
+SELECT small_id, COUNT(*) AS n_pairs,
+       CAST(SUM(area_q) AS BIGINT) AS overlap_q,
+       CAST(CAST(SUM(area_q) AS BIGINT) AS DOUBLE) / 1e12 AS overlap_area
+FROM pr GROUP BY small_id
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
     px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
@@ -1107,6 +1162,8 @@ FROM a JOIN b
 """.strip(),
         "rects_intersect": rects_sql,
         "rects_intersect_shuffle": rects_sql,
+        "zonal_stats": _oracle_zonal_stats(),
+        "rects_overlap_area": _oracle_rects_overlap_area(),
         "mixed_prox_points": _oracle_mixed_prox(),
         "wkt_dead_letter": _oracle_wkt_dead_letter(),
         "geo_storage_roundtrip": _oracle_geo_storage(),
@@ -1595,6 +1652,91 @@ def q_unmatched_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("c_custkey"))
     prox = q_prox_points(spark, sf_dir).select("big_id")
     return cust.join(prox, cust.c_custkey == prox.big_id, "left_anti").select("c_custkey")
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — the canonical vector-zone aggregate: per-zone
+    count/sum/min/max/mean of a point-borne weight, through the REAL
+    PIP engine (supplier rhombus zones CONTAIN customer points; the
+    weight is c_custkey % 97). The pair stream re-joins the weight by
+    big_id (plain equi-join Catalyst plans as broadcast at small scale
+    and shuffle-hash at large — ids, not geometry, cross that join),
+    then ONE hash aggregate per zone (map-side partials). Every
+    statistic is integer-exact; the mean divides the same two exact
+    integers in both engines, so even the double column hash-matches."""
+    quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, quads, validate=False)
+    pairs = idx.spatial_join(pts, how="contains", validate=False, big_kinds={0})
+    vals = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS big_id", "CAST(c_custkey % 97 AS BIGINT) AS val")
+    return (
+        pairs.join(vals, "big_id")
+        .groupBy(F.col("small_id").alias("zone_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .withColumn(
+            "mean_val",
+            F.col("sum_val").cast("double") / F.col("n_points").cast("double"),
+        )
+    )
+
+
+def q_rects_overlap_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlay aggregate: total INTERSECTION AREA of lineitem rects per
+    part rect (pair count + summed clipped area). The engine produces
+    the intersecting id pairs; rect bounds are re-derived from the base
+    tables with the same expression text as the oracle, so the per-pair
+    clipped width/height/product are bit-identical doubles in both
+    engines. The per-pair area is quantized to an exact integer
+    (floor(area * 1e12) — area <= 0.16 so the scaled value stays well
+    under 2^53 and floor is exact), making the per-zone SUM
+    order-independent; the readable double column divides the exact
+    bigint back down identically in both engines. Closed-rect
+    semantics: touching pairs contribute width*height = 0, not a
+    missing row."""
+    small = _rects_df(spark, sf_dir, "part", "p_partkey")
+    big = _rects_df(spark, sf_dir, "lineitem", "(l_orderkey * 10 + l_linenumber)",
+                    id_expr=LINEITEM_ID)
+    idx = SpatialIndex.build(spark, small, validate=False)
+    pairs = idx.spatial_join(big, how="intersects", validate=False, big_kinds={4})
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra_p, rb_p = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    lk = "(l_orderkey * 10 + l_linenumber)"
+    px_l, py_l = PX.format(k=lk), PY.format(k=lk)
+    ra_l, rb_l = RA.format(k=lk), RB.format(k=lk)
+    a = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "p_partkey AS small_id",
+        f"({px_p}) - ({ra_p}) AS s_xmin", f"({py_p}) - ({rb_p}) AS s_ymin",
+        f"({px_p}) + ({ra_p}) AS s_xmax", f"({py_p}) + ({rb_p}) AS s_ymax",
+    )
+    # the synthetic lineitem id is NOT unique (duplicate (orderkey,
+    # linenumber) rows exist); the pair stream already carries one row
+    # per duplicate, and the bounds are a pure function of the id, so
+    # dedup the bounds dim to keep the rejoin fanout-free
+    b = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        f"{lk} AS big_id",
+        f"({px_l}) - ({ra_l}) AS b_xmin", f"({py_l}) - ({rb_l}) AS b_ymin",
+        f"({px_l}) + ({ra_l}) AS b_xmax", f"({py_l}) + ({rb_l}) AS b_ymax",
+    ).distinct()
+    per_pair = (
+        pairs.join(b, "big_id").join(a, "small_id")
+        .selectExpr(
+            "small_id",
+            "CAST(floor((least(s_xmax, b_xmax) - greatest(s_xmin, b_xmin))"
+            " * (least(s_ymax, b_ymax) - greatest(s_ymin, b_ymin)) * 1e12)"
+            " AS BIGINT) AS area_q",
+        )
+    )
+    return (
+        per_pair.groupBy("small_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("area_q").alias("overlap_q"))
+        .withColumn("overlap_area", F.col("overlap_q").cast("double") / F.lit(1e12))
+    )
 
 
 def q_images_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2237,6 +2379,8 @@ QUERIES = {
     "ann_ivf_clustered": q_ann_ivf_clustered,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "zonal_stats": q_zonal_stats,
+    "rects_overlap_area": q_rects_overlap_area,
     "cell_counts": q_cell_counts,
     "top_tiles": q_top_tiles,
     "unmatched_customers": q_unmatched_customers,
