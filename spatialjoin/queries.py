@@ -560,6 +560,23 @@ def q_points_within_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
                             big_kinds={3}, big_max_rings=1)
 
 
+def q_quads_intersect_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYGON x POLYGON intersects — the one kernel cell the other
+    join rows don't exercise directly (reference Intersects table,
+    relates_impl.rs poly/poly arm): supplier rhombi vs part rhombi,
+    closed semantics (boundary touching counts). Engine route: both
+    sides polygons, small side broadcast-indexed, refine via
+    kernels._int_poly_poly (edge crossings + strict vertex containment
+    both ways). Oracle: convex SAT over the 8 CCW edge normals —
+    exact-arithmetic equivalent of the kernel composite for convex
+    1-ring polygons (see _seg_rect_sat's bit-agreement note)."""
+    small = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    big = _quads_df(spark, sf_dir, "part", "p_partkey")
+    idx = SpatialIndex.build(spark, small, validate=False)
+    return idx.spatial_join(big, how="intersects", validate=False,
+                            big_kinds={3}, big_max_rings=1)
+
+
 def q_prox_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity map (inclusive epsilon join) with exact distances."""
     sup = _points_df(spark, sf_dir, "supplier", "s_suppkey")
@@ -900,6 +917,53 @@ WHERE least(v0x, v1x, v2x) <= xmax AND greatest(v0x, v1x, v2x) >= xmin
 """.strip()
 
 
+def _oracle_quads_quads() -> str:
+    """Convex-polygon SAT for the rhombus x rhombus intersects row:
+    two closed convex CCW quads intersect iff NO edge (of either) has
+    all four opposite vertices strictly outside (cross < 0). For each
+    of the 8 edges: NOT (all 4 opposite vertices strictly right of the
+    edge line). Exact-arithmetic equivalent of the kernel composite
+    (segs cross | vertex strictly inside either way) for convex
+    1-ring polygons; same empirical-bit-agreement caveat as
+    _seg_rect_sat."""
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a_s, b_s = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    a_p, b_p = QA.format(k="p_partkey"), QB.format(k="p_partkey")
+    # CCW rhombus vertices around (cx,cy): (cx+a,cy) (cx,cy+b)
+    # (cx-a,cy) (cx,cy-b) — matching _quads_df's ring order
+    verts = [("(cx{s} + a{s})", "(cy{s})"), ("(cx{s})", "(cy{s} + b{s})"),
+             ("(cx{s} - a{s})", "(cy{s})"), ("(cx{s})", "(cy{s} - b{s})")]
+
+    def poly(side):
+        return [(vx.format(s=side), vy.format(s=side)) for vx, vy in verts]
+
+    def sep_conds(edges_of, verts_of):
+        ev = poly(edges_of)
+        vv = poly(verts_of)
+        conds = []
+        for i in range(4):
+            px, py = ev[i]
+            qx, qy = ev[(i + 1) % 4]
+            crosses = [
+                f"(({qx} - {px}) * ({vy} - {py}) - ({qy} - {py}) * ({vx} - {px})) < 0"
+                for vx, vy in vv
+            ]
+            conds.append("NOT (" + " AND ".join(crosses) + ")")
+        return conds
+
+    sat = "\n  AND ".join(sep_conds("_a", "_b") + sep_conds("_b", "_a"))
+    return f"""
+WITH qa AS MATERIALIZED (SELECT s_suppkey, {px_s} AS cx_a, {py_s} AS cy_a,
+                   {a_s} AS a_a, {b_s} AS b_a FROM supplier),
+qb AS MATERIALIZED (SELECT p_partkey, {px_p} AS cx_b, {py_p} AS cy_b,
+                   {a_p} AS a_b, {b_p} AS b_b FROM part)
+SELECT qb.p_partkey AS big_id, qa.s_suppkey AS small_id
+FROM qa, qb
+WHERE {sat}
+""".strip()
+
+
 def _oracle_join_with_geos() -> str:
     px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
     px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
@@ -1125,6 +1189,7 @@ FROM a JOIN b
         "pip_quad_cogroup": _oracle_pip_quads(small_within_big=False),
         "pip_quad_pairs": _oracle_pip_quads(small_within_big=False),
         "points_within_quads": _oracle_pip_quads(small_within_big=True),
+        "quads_intersect_quads": _oracle_quads_quads(),
         "donut_quads_contain_points": _oracle_donut_quads(),
         "wkt_quads_contain_points": _oracle_wkt_quads(),
         "geom_measures": _oracle_geom_measures(),
@@ -2345,6 +2410,7 @@ QUERIES = {
     "pip_quad_cogroup": q_pip_quad_cogroup,
     "pip_quad_pairs": q_pip_quad_pairs,
     "points_within_quads": q_points_within_quads,
+    "quads_intersect_quads": q_quads_intersect_quads,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
     "rects_intersect_cogroup": q_rects_intersect_cogroup,

@@ -552,3 +552,31 @@ def test_geombatch_from_arrow_ignores_rings_on_non_polygons():
     assert (a.ring_counts == np.array([0, 1, 0], dtype=np.int32)).all()
     for f in ("kind", "offs", "xs", "ys", "ring_counts", "ring_starts"):
         assert (getattr(a, f) == getattr(b, f)).all(), f
+
+
+def test_poly_poly_intersects_closed_semantics():
+    """POLYGON x POLYGON intersects (kernels._int_poly_poly): closed
+    semantics — vertex touching counts, containment with no edge
+    crossing counts, disjoint stays out. Pins the kernel cell behind
+    the quads_intersect_quads driver row."""
+    from spatialjoin.geom import GeomBatch, POLYGON
+    from spatialjoin.oracle import slow_spatial_join
+
+    def rh(cx, cy, a, b):
+        out = []
+        for x, y in [(cx + a, cy), (cx, cy + b), (cx - a, cy),
+                     (cx, cy - b), (cx + a, cy)]:
+            out += [x, y]
+        return out
+
+    coords = [rh(0, 0, 1, 1),       # 0
+              rh(2, 0, 1, 1),       # 1: touches 0 at exactly (1, 0)
+              rh(0, 0, 0.2, 0.2),   # 2: strictly inside 0, no edge cross
+              rh(5, 5, 1, 1),       # 3: disjoint from all
+              rh(0.5, 0, 1, 1)]     # 4: proper edge-crossing overlap of 0
+    gb = GeomBatch.from_lists([POLYGON] * 5, coords, [[0]] * 5)
+    got = sorted(set(map(tuple, slow_spatial_join(gb, gb, "intersects"))))
+    expect = sorted({(i, i) for i in range(5)}
+                    | {(0, 1), (1, 0), (0, 2), (2, 0), (0, 4), (4, 0),
+                       (1, 4), (4, 1), (2, 4), (4, 2)})
+    assert got == expect
