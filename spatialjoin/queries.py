@@ -655,6 +655,72 @@ def q_lines_prox_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.proximity_map(pts, validate=False, big_kinds={0})
 
 
+def q_quads_prox_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity with a POLYGON indexed side — the (POINT, POLYGON)
+    cell of the distance kernel (kernels._dst_pt_area: 0 when the point
+    is strictly inside, else min point-segment distance over the ring
+    edges; mirrors the reference's point-polygon EuclideanDistance,
+    src/relates_impl.rs:147-234): customer points within 0.5 of the
+    supplier rhombi. max_distance is an exact power of two so the
+    inclusive threshold compares identically in both engines."""
+    quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, quads, max_distance=0.5, validate=False)
+    return idx.proximity_map(pts, validate=False, big_kinds={0})
+
+
+def _oracle_quads_prox() -> str:
+    """DuckDB twin of q_quads_prox_points. Vertices, edge deltas and
+    the clamped-projection point-segment distance are written as the
+    SAME expression text the engine evaluates (vertex doubles from the
+    coords array, dx = bx - ax on those vertices — NOT the
+    algebraically-equal -a — so every rounding step agrees with
+    kernels.point_seg_dist2). Strict interior (distance 0) uses the
+    same four CCW cross products as _oracle_pip_quads; sqrt(min d2)
+    equals min(sqrt d2) by monotonicity, so the min aggregates d2."""
+    px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    return f"""
+WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
+qds AS (SELECT s_suppkey, {px_s} AS cx, {py_s} AS cy, {a} AS a, {b} AS b FROM supplier),
+edges AS (
+  SELECT s_suppkey, (cx + a) AS ax, cy AS ay, cx AS bx, (cy + b) AS by FROM qds
+  UNION ALL
+  SELECT s_suppkey, cx, (cy + b), (cx - a), cy FROM qds
+  UNION ALL
+  SELECT s_suppkey, (cx - a), cy, cx, (cy - b) FROM qds
+  UNION ALL
+  SELECT s_suppkey, cx, (cy - b), (cx + a), cy FROM qds
+),
+seg AS (SELECT s_suppkey, ax, ay, bx - ax AS dx, by - ay AS dy FROM edges),
+tt AS (
+  SELECT c_custkey, s_suppkey, px, py, ax, ay, dx, dy,
+         least(greatest(((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy), 0e0), 1e0) AS t
+  FROM pts, seg
+),
+d2 AS (
+  SELECT c_custkey, s_suppkey,
+         min((px - (ax + t * dx)) * (px - (ax + t * dx))
+           + (py - (ay + t * dy)) * (py - (ay + t * dy))) AS mind2
+  FROM tt GROUP BY 1, 2
+),
+ins AS (
+  SELECT pts.c_custkey, qds.s_suppkey
+  FROM pts, qds
+  WHERE ((cx) - (cx + a)) * (py - cy) - ((cy + b) - cy) * (px - (cx + a)) > 0
+    AND ((cx - a) - cx) * (py - (cy + b)) - (cy - (cy + b)) * (px - cx) > 0
+    AND (cx - (cx - a)) * (py - cy) - ((cy - b) - cy) * (px - (cx - a)) > 0
+    AND ((cx + a) - cx) * (py - (cy - b)) - (cy - (cy - b)) * (px - cx) > 0
+)
+SELECT d2.c_custkey AS big_id, d2.s_suppkey AS small_id,
+       CASE WHEN ins.c_custkey IS NOT NULL THEN 0e0 ELSE sqrt(mind2) END AS distance
+FROM d2 LEFT JOIN ins
+  ON ins.c_custkey = d2.c_custkey AND ins.s_suppkey = d2.s_suppkey
+WHERE (CASE WHEN ins.c_custkey IS NOT NULL THEN 0e0 ELSE sqrt(mind2) END) <= 5e-1
+""".strip()
+
+
 def q_tris_intersect_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRIANGLE Intersects through the engine: supplier triangles vs
     the part-rect index (closed SAT semantics, kernel refine)."""
@@ -1230,6 +1296,7 @@ FROM a JOIN b
         "zonal_stats": _oracle_zonal_stats(),
         "rects_overlap_area": _oracle_rects_overlap_area(),
         "mixed_prox_points": _oracle_mixed_prox(),
+        "quads_prox_points": _oracle_quads_prox(),
         "wkt_dead_letter": _oracle_wkt_dead_letter(),
         "geo_storage_roundtrip": _oracle_geo_storage(),
         "events_rollup_cube": _oracle_events_cube(),
@@ -2433,6 +2500,7 @@ QUERIES = {
     "events_rollup_cube": q_events_rollup_cube,
     "geo_storage_roundtrip": q_geo_storage_roundtrip,
     "lines_prox_points": q_lines_prox_points,
+    "quads_prox_points": q_quads_prox_points,
     "prox_with_geos": q_prox_with_geos,
     "knn_points": q_knn_points,
     "knn_skew": q_knn_skew,
