@@ -721,6 +721,127 @@ WHERE (CASE WHEN ins.c_custkey IS NOT NULL THEN 0e0 ELSE sqrt(mind2) END) <= 5e-
 """.strip()
 
 
+def q_rects_prox_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity with a RECT indexed side — the (POINT, RECT) cell of
+    the distance kernel (kernels._dst_pt_area(RECT): 0 when the point
+    is inside the CLOSED rect, else min point-segment distance over the
+    4 edges): customer points within 0.25 of the part rects."""
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, rects, max_distance=0.25, validate=False)
+    return idx.proximity_map(pts, validate=False, big_kinds={0})
+
+
+def _oracle_rects_prox() -> str:
+    """DuckDB twin of q_rects_prox_points: corner-ring edges in
+    kernels.rect_segments order, the same clamped-projection
+    point-segment distance as point_seg_dist2, closed-rect inside test
+    verbatim from point_in_rect_closed."""
+    px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra, rb = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    return f"""
+WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
+rcs AS (SELECT p_partkey,
+               ({px_p}) - ({ra}) AS xmin, ({py_p}) - ({rb}) AS ymin,
+               ({px_p}) + ({ra}) AS xmax, ({py_p}) + ({rb}) AS ymax FROM part),
+edges AS (
+  SELECT p_partkey, xmin AS ax, ymin AS ay, xmax AS bx, ymin AS by FROM rcs
+  UNION ALL
+  SELECT p_partkey, xmax, ymin, xmax, ymax FROM rcs
+  UNION ALL
+  SELECT p_partkey, xmax, ymax, xmin, ymax FROM rcs
+  UNION ALL
+  SELECT p_partkey, xmin, ymax, xmin, ymin FROM rcs
+),
+seg AS (SELECT p_partkey, ax, ay, bx - ax AS dx, by - ay AS dy FROM edges),
+tt AS (
+  SELECT c_custkey, p_partkey, px, py, ax, ay, dx, dy,
+         least(greatest(((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy), 0e0), 1e0) AS t
+  FROM pts, seg
+),
+d2 AS (
+  SELECT c_custkey, p_partkey,
+         min((px - (ax + t * dx)) * (px - (ax + t * dx))
+           + (py - (ay + t * dy)) * (py - (ay + t * dy))) AS mind2
+  FROM tt GROUP BY 1, 2
+),
+ins AS (
+  SELECT pts.c_custkey, rcs.p_partkey
+  FROM pts, rcs
+  WHERE px >= xmin AND px <= xmax AND py >= ymin AND py <= ymax
+)
+SELECT d2.c_custkey AS big_id, d2.p_partkey AS small_id,
+       CASE WHEN ins.c_custkey IS NOT NULL THEN 0e0 ELSE sqrt(mind2) END AS distance
+FROM d2 LEFT JOIN ins
+  ON ins.c_custkey = d2.c_custkey AND ins.p_partkey = d2.p_partkey
+WHERE (CASE WHEN ins.c_custkey IS NOT NULL THEN 0e0 ELSE sqrt(mind2) END) <= 25e-2
+""".strip()
+
+
+def q_tris_prox_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity with a TRIANGLE indexed side — the (POINT, TRIANGLE)
+    cell of the distance kernel (0 when the point passes the
+    boundary-INCLUSIVE geo same-side test, else min point-segment
+    distance over the 3 edges): customer points within 0.5 of the
+    supplier triangles."""
+    tris = _tris_df(spark, sf_dir, "supplier", "s_suppkey")
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    idx = SpatialIndex.build(spark, tris, max_distance=0.5, validate=False)
+    return idx.proximity_map(pts, validate=False, big_kinds={0})
+
+
+def _oracle_tris_prox() -> str:
+    """DuckDB twin of q_tris_prox_points: the inside test is the SAME
+    same-side cross-product text as _oracle_tris_points (boundary
+    inclusive — matching kernels.point_in_tri, whose degenerate
+    override can't trigger here since a, b >= 0.5); edges follow
+    kernels.tri_segments order v0->v1->v2->v0."""
+    px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
+    cx, cy = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    return f"""
+WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
+tri AS (SELECT s_suppkey,
+               ({cx}) - ({a}) AS v0x, ({cy}) - ({b}) AS v0y,
+               ({cx}) + ({a}) AS v1x, ({cy}) - ({b}) AS v1y,
+               ({cx}) AS v2x, ({cy}) + ({b}) AS v2y FROM supplier),
+edges AS (
+  SELECT s_suppkey, v0x AS ax, v0y AS ay, v1x AS bx, v1y AS by FROM tri
+  UNION ALL
+  SELECT s_suppkey, v1x, v1y, v2x, v2y FROM tri
+  UNION ALL
+  SELECT s_suppkey, v2x, v2y, v0x, v0y FROM tri
+),
+seg AS (SELECT s_suppkey, ax, ay, bx - ax AS dx, by - ay AS dy FROM edges),
+tt AS (
+  SELECT c_custkey, s_suppkey, px, py, ax, ay, dx, dy,
+         least(greatest(((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy), 0e0), 1e0) AS t
+  FROM pts, seg
+),
+d2 AS (
+  SELECT c_custkey, s_suppkey,
+         min((px - (ax + t * dx)) * (px - (ax + t * dx))
+           + (py - (ay + t * dy)) * (py - (ay + t * dy))) AS mind2
+  FROM tt GROUP BY 1, 2
+),
+ins AS (
+  SELECT c_custkey, s_suppkey FROM (
+    SELECT c_custkey, s_suppkey,
+           (v1x - v0x) * (py - v0y) - (v1y - v0y) * (px - v0x) AS d1,
+           (v2x - v1x) * (py - v1y) - (v2y - v1y) * (px - v1x) AS d2,
+           (v0x - v2x) * (py - v2y) - (v0y - v2y) * (px - v2x) AS d3
+    FROM pts, tri)
+  WHERE NOT ((d1 < 0 OR d2 < 0 OR d3 < 0) AND (d1 > 0 OR d2 > 0 OR d3 > 0))
+)
+SELECT d2.c_custkey AS big_id, d2.s_suppkey AS small_id,
+       CASE WHEN ins.c_custkey IS NOT NULL THEN 0e0 ELSE sqrt(mind2) END AS distance
+FROM d2 LEFT JOIN ins
+  ON ins.c_custkey = d2.c_custkey AND ins.s_suppkey = d2.s_suppkey
+WHERE (CASE WHEN ins.c_custkey IS NOT NULL THEN 0e0 ELSE sqrt(mind2) END) <= 5e-1
+""".strip()
+
+
 def q_tris_intersect_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRIANGLE Intersects through the engine: supplier triangles vs
     the part-rect index (closed SAT semantics, kernel refine)."""
@@ -1297,6 +1418,8 @@ FROM a JOIN b
         "rects_overlap_area": _oracle_rects_overlap_area(),
         "mixed_prox_points": _oracle_mixed_prox(),
         "quads_prox_points": _oracle_quads_prox(),
+        "rects_prox_points": _oracle_rects_prox(),
+        "tris_prox_points": _oracle_tris_prox(),
         "wkt_dead_letter": _oracle_wkt_dead_letter(),
         "geo_storage_roundtrip": _oracle_geo_storage(),
         "events_rollup_cube": _oracle_events_cube(),
@@ -2501,6 +2624,8 @@ QUERIES = {
     "geo_storage_roundtrip": q_geo_storage_roundtrip,
     "lines_prox_points": q_lines_prox_points,
     "quads_prox_points": q_quads_prox_points,
+    "rects_prox_points": q_rects_prox_points,
+    "tris_prox_points": q_tris_prox_points,
     "prox_with_geos": q_prox_with_geos,
     "knn_points": q_knn_points,
     "knn_skew": q_knn_skew,
