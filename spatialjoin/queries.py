@@ -842,6 +842,94 @@ WHERE (CASE WHEN ins.c_custkey IS NOT NULL THEN 0e0 ELSE sqrt(mind2) END) <= 5e-
 """.strip()
 
 
+def q_paths_prox_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity where BOTH sides carry segments — the path-path cell
+    of the distance kernel (kernels._dst_path_path -> seg_seg_dist2:
+    per segment pair, 0 when the closed segments intersect, else the
+    min of the four endpoint-to-opposite-segment distances; the pair
+    min is taken in the squared domain and sqrt'd once): 2-segment
+    order LINESTRINGs within 0.25 of the supplier LINE index."""
+    lines = _lines_df(spark, sf_dir, "supplier", "s_suppkey")
+    paths = _paths_df(spark, sf_dir, "orders", "o_orderkey")
+    idx = SpatialIndex.build(spark, lines, max_distance=0.25, validate=False)
+    return idx.proximity_map(paths, validate=False, big_kinds={2})
+
+
+def _oracle_paths_prox_lines() -> str:
+    """DuckDB twin of q_paths_prox_lines. Per (path segment, line): the
+    four clamped-projection point-segment distances of
+    kernels.point_seg_dist2, least() in the squared domain; the zero
+    branch reproduces kernels.segs_intersect exactly (proper straddle
+    via the four cross products, plus collinear touch via the
+    inclusive bbox test). min over the two path segments, sqrt once —
+    matching the kernel's reduce order is unnecessary because min over
+    doubles is exact and order-free."""
+    k = "s_suppkey"
+    x0, y0 = PX.format(k=k), PY.format(k=k)
+    dx1, dy1 = DX1.format(k=k), DY1.format(k=k)
+    ko = "o_orderkey"
+    ox0, oy0 = PX.format(k=ko), PY.format(k=ko)
+    odx1, ody1 = DX1.format(k=ko), DY1.format(k=ko)
+    odx2, ody2 = DX2.format(k=f"({ko} + 7)"), DY2.format(k=f"({ko} + 7)")
+    # the four point-to-segment squared distances (p against seg a->b
+    # with deltas adx, ady), as a reusable expression factory
+    def psd2(ax, ay, adx, ady, px, py):
+        t = (f"least(greatest(((({px}) - ({ax})) * ({adx}) + (({py}) - ({ay})) * ({ady}))"
+             f" / (({adx}) * ({adx}) + ({ady}) * ({ady})), 0e0), 1e0)")
+        ex = f"(({px}) - (({ax}) + {t} * ({adx})))"
+        ey = f"(({py}) - (({ay}) + {t} * ({ady})))"
+        return f"({ex} * {ex} + {ey} * {ey})"
+
+    d_b1 = psd2("pax", "pay", "pdx", "pdy", "lax", "lay")
+    d_b2 = psd2("pax", "pay", "pdx", "pdy", "lbx", "lby")
+    d_a1 = psd2("lax", "lay", "ldx", "ldy", "pax", "pay")
+    d_a2 = psd2("lax", "lay", "ldx", "ldy", "pbx", "pby")
+    cross = ("(({bx}) - ({ox})) * (({py}) - ({oy}))"
+             " - (({by}) - ({oy})) * (({px}) - ({ox}))")
+    d1 = cross.format(ox="lax", oy="lay", bx="lbx", by="lby", px="pax", py="pay")
+    d2 = cross.format(ox="lax", oy="lay", bx="lbx", by="lby", px="pbx", py="pby")
+    d3 = cross.format(ox="pax", oy="pay", bx="pbx", by="pby", px="lax", py="lay")
+    d4 = cross.format(ox="pax", oy="pay", bx="pbx", by="pby", px="lbx", py="lby")
+    onb = ("(({px}) >= least({ax}, {bx}) AND ({px}) <= greatest({ax}, {bx})"
+           " AND ({py}) >= least({ay}, {by}) AND ({py}) <= greatest({ay}, {by}))")
+    on_l_a1 = onb.format(ax="lax", ay="lay", bx="lbx", by="lby", px="pax", py="pay")
+    on_l_a2 = onb.format(ax="lax", ay="lay", bx="lbx", by="lby", px="pbx", py="pby")
+    on_p_b1 = onb.format(ax="pax", ay="pay", bx="pbx", by="pby", px="lax", py="lay")
+    on_p_b2 = onb.format(ax="pax", ay="pay", bx="pbx", by="pby", px="lbx", py="lby")
+    return f"""
+WITH ln AS (SELECT s_suppkey, {x0} AS lax, {y0} AS lay,
+                   ({x0}) + ({dx1}) AS lbx, ({y0}) + ({dy1}) AS lby FROM supplier),
+pth AS (SELECT o_orderkey, {ox0} AS v0x, {oy0} AS v0y,
+               ({ox0}) + ({odx1}) AS v1x, ({oy0}) + ({ody1}) AS v1y,
+               (({ox0}) + ({odx1})) + ({odx2}) AS v2x,
+               (({oy0}) + ({ody1})) + ({ody2}) AS v2y FROM orders),
+pseg AS (
+  SELECT o_orderkey, v0x AS pax, v0y AS pay, v1x AS pbx, v1y AS pby FROM pth
+  UNION ALL
+  SELECT o_orderkey, v1x, v1y, v2x, v2y FROM pth
+),
+sp AS (SELECT o_orderkey, s_suppkey,
+              pax, pay, pbx, pby, pbx - pax AS pdx, pby - pay AS pdy,
+              lax, lay, lbx, lby, lbx - lax AS ldx, lby - lay AS ldy
+       FROM pseg, ln),
+dd AS (SELECT *,
+              {d1} AS c1, {d2} AS c2, {d3} AS c3, {d4} AS c4,
+              least({d_b1}, {d_b2}, {d_a1}, {d_a2}) AS d2min
+       FROM sp),
+hitd AS (SELECT o_orderkey, s_suppkey,
+                CASE WHEN (((c1 > 0 AND c2 < 0) OR (c1 < 0 AND c2 > 0))
+                           AND ((c3 > 0 AND c4 < 0) OR (c3 < 0 AND c4 > 0)))
+                       OR (c1 = 0 AND {on_l_a1}) OR (c2 = 0 AND {on_l_a2})
+                       OR (c3 = 0 AND {on_p_b1}) OR (c4 = 0 AND {on_p_b2})
+                     THEN 0e0 ELSE d2min END AS v
+         FROM dd),
+agg AS (SELECT o_orderkey, s_suppkey, sqrt(min(v)) AS distance
+        FROM hitd GROUP BY 1, 2)
+SELECT o_orderkey AS big_id, s_suppkey AS small_id, distance
+FROM agg WHERE distance <= 25e-2
+""".strip()
+
+
 def q_tris_intersect_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRIANGLE Intersects through the engine: supplier triangles vs
     the part-rect index (closed SAT semantics, kernel refine)."""
@@ -1420,6 +1508,7 @@ FROM a JOIN b
         "quads_prox_points": _oracle_quads_prox(),
         "rects_prox_points": _oracle_rects_prox(),
         "tris_prox_points": _oracle_tris_prox(),
+        "paths_prox_lines": _oracle_paths_prox_lines(),
         "wkt_dead_letter": _oracle_wkt_dead_letter(),
         "geo_storage_roundtrip": _oracle_geo_storage(),
         "events_rollup_cube": _oracle_events_cube(),
@@ -2626,6 +2715,7 @@ QUERIES = {
     "quads_prox_points": q_quads_prox_points,
     "rects_prox_points": q_rects_prox_points,
     "tris_prox_points": q_tris_prox_points,
+    "paths_prox_lines": q_paths_prox_lines,
     "prox_with_geos": q_prox_with_geos,
     "knn_points": q_knn_points,
     "knn_skew": q_knn_skew,
