@@ -842,6 +842,17 @@ WHERE (CASE WHEN ins.c_custkey IS NOT NULL THEN 0e0 ELSE sqrt(mind2) END) <= 5e-
 """.strip()
 
 
+def _psd2_expr(ax, ay, adx, ady, px, py):
+    """SQL text of kernels.point_seg_dist2 (squared point-to-segment
+    distance of p against seg a->b with deltas adx, ady) — the clamped
+    projection evaluated in the exact operation order of the kernel."""
+    t = (f"least(greatest(((({px}) - ({ax})) * ({adx}) + (({py}) - ({ay})) * ({ady}))"
+         f" / (({adx}) * ({adx}) + ({ady}) * ({ady})), 0e0), 1e0)")
+    ex = f"(({px}) - (({ax}) + {t} * ({adx})))"
+    ey = f"(({py}) - (({ay}) + {t} * ({ady})))"
+    return f"({ex} * {ex} + {ey} * {ey})"
+
+
 def q_paths_prox_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity where BOTH sides carry segments — the path-path cell
     of the distance kernel (kernels._dst_path_path -> seg_seg_dist2:
@@ -871,15 +882,7 @@ def _oracle_paths_prox_lines() -> str:
     ox0, oy0 = PX.format(k=ko), PY.format(k=ko)
     odx1, ody1 = DX1.format(k=ko), DY1.format(k=ko)
     odx2, ody2 = DX2.format(k=f"({ko} + 7)"), DY2.format(k=f"({ko} + 7)")
-    # the four point-to-segment squared distances (p against seg a->b
-    # with deltas adx, ady), as a reusable expression factory
-    def psd2(ax, ay, adx, ady, px, py):
-        t = (f"least(greatest(((({px}) - ({ax})) * ({adx}) + (({py}) - ({ay})) * ({ady}))"
-             f" / (({adx}) * ({adx}) + ({ady}) * ({ady})), 0e0), 1e0)")
-        ex = f"(({px}) - (({ax}) + {t} * ({adx})))"
-        ey = f"(({py}) - (({ay}) + {t} * ({ady})))"
-        return f"({ex} * {ex} + {ey} * {ey})"
-
+    psd2 = _psd2_expr
     d_b1 = psd2("pax", "pay", "pdx", "pdy", "lax", "lay")
     d_b2 = psd2("pax", "pay", "pdx", "pdy", "lbx", "lby")
     d_a1 = psd2("lax", "lay", "ldx", "ldy", "pax", "pay")
@@ -927,6 +930,74 @@ agg AS (SELECT o_orderkey, s_suppkey, sqrt(min(v)) AS distance
         FROM hitd GROUP BY 1, 2)
 SELECT o_orderkey AS big_id, s_suppkey AS small_id, distance
 FROM agg WHERE distance <= 25e-2
+""".strip()
+
+
+def q_lines_prox_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity of LINE probes against an AREA index — the
+    (LINE, RECT) cell of the distance kernel
+    (kernels._dst_edges_if_disjoint: 0 when the closed line-vs-rect
+    intersect composite fires, else min seg-seg distance between the
+    line and the 4 rect edges): supplier lines within 0.25 of the
+    part rects."""
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    lines = _lines_df(spark, sf_dir, "supplier", "s_suppkey")
+    idx = SpatialIndex.build(spark, rects, max_distance=0.25, validate=False)
+    return idx.proximity_map(lines, validate=False, big_kinds={1})
+
+
+def _oracle_lines_prox_rects() -> str:
+    """DuckDB twin of q_lines_prox_rects. The zero branch reuses
+    _seg_rect_sat (the same closed seg-vs-rect predicate that proves
+    lines_intersect_rects; a disjoint line can touch no rect edge, so
+    the per-edge seg_seg zero branch is subsumed by it). The distance
+    is the min over the 4 corner-ring edges of the four
+    endpoint-to-opposite-segment distances (_psd2_expr), squared
+    domain, sqrt once — exactly kernels.seg_seg_dist2 under
+    disjointness."""
+    k = "s_suppkey"
+    x0, y0 = PX.format(k=k), PY.format(k=k)
+    dx1, dy1 = DX1.format(k=k), DY1.format(k=k)
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra, rb = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    # per (line, rect edge): line endpoints -> edge, edge corners -> line
+    d_l1 = _psd2_expr("eax", "eay", "edx", "edy", "ax", "ay")
+    d_l2 = _psd2_expr("eax", "eay", "edx", "edy", "bx2", "by2")
+    d_e1 = _psd2_expr("ax", "ay", "ldx", "ldy", "eax", "eay")
+    d_e2 = _psd2_expr("ax", "ay", "ldx", "ldy", "ebx", "eby")
+    return f"""
+WITH segs AS MATERIALIZED (SELECT s_suppkey AS lid, {x0} AS ax, {y0} AS ay,
+                     ({x0}) + ({dx1}) AS bx2, ({y0}) + ({dy1}) AS by2 FROM supplier),
+rc AS (SELECT p_partkey,
+              ({px_p}) - ({ra}) AS xmin, ({py_p}) - ({rb}) AS ymin,
+              ({px_p}) + ({ra}) AS xmax, ({py_p}) + ({rb}) AS ymax FROM part),
+hit AS (
+  SELECT segs.lid, rc.p_partkey
+  FROM segs JOIN rc
+    ON {_seg_rect_sat()}
+),
+edges AS (
+  SELECT p_partkey, xmin AS eax, ymin AS eay, xmax AS ebx, ymin AS eby FROM rc
+  UNION ALL
+  SELECT p_partkey, xmax, ymin, xmax, ymax FROM rc
+  UNION ALL
+  SELECT p_partkey, xmax, ymax, xmin, ymax FROM rc
+  UNION ALL
+  SELECT p_partkey, xmin, ymax, xmin, ymin FROM rc
+),
+sp AS (SELECT lid, p_partkey, ax, ay, bx2, by2,
+              bx2 - ax AS ldx, by2 - ay AS ldy,
+              eax, eay, ebx, eby, ebx - eax AS edx, eby - eay AS edy
+       FROM segs, edges),
+d2 AS (SELECT lid, p_partkey,
+              min(least({d_l1}, {d_l2}, {d_e1}, {d_e2})) AS mind2
+       FROM sp GROUP BY 1, 2),
+res AS (
+  SELECT d2.lid AS big_id, d2.p_partkey AS small_id,
+         CASE WHEN hit.lid IS NOT NULL THEN 0e0 ELSE sqrt(mind2) END AS distance
+  FROM d2 LEFT JOIN hit ON hit.lid = d2.lid AND hit.p_partkey = d2.p_partkey
+)
+SELECT big_id, small_id, distance FROM res WHERE distance <= 25e-2
 """.strip()
 
 
@@ -1509,6 +1580,7 @@ FROM a JOIN b
         "rects_prox_points": _oracle_rects_prox(),
         "tris_prox_points": _oracle_tris_prox(),
         "paths_prox_lines": _oracle_paths_prox_lines(),
+        "lines_prox_rects": _oracle_lines_prox_rects(),
         "wkt_dead_letter": _oracle_wkt_dead_letter(),
         "geo_storage_roundtrip": _oracle_geo_storage(),
         "events_rollup_cube": _oracle_events_cube(),
@@ -2716,6 +2788,7 @@ QUERIES = {
     "rects_prox_points": q_rects_prox_points,
     "tris_prox_points": q_tris_prox_points,
     "paths_prox_lines": q_paths_prox_lines,
+    "lines_prox_rects": q_lines_prox_rects,
     "prox_with_geos": q_prox_with_geos,
     "knn_points": q_knn_points,
     "knn_skew": q_knn_skew,
