@@ -1001,6 +1001,93 @@ SELECT big_id, small_id, distance FROM res WHERE distance <= 25e-2
 """.strip()
 
 
+def q_rects_prox_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AREA-to-AREA proximity — the (RECT, RECT) cell of the distance
+    kernel (_dst_edges_if_disjoint over _int_rect_rect: 0 when the
+    closed bboxes overlap, else min seg-seg distance over the 4x4 edge
+    pairs): lineitem rects within 0.125 of the part-rect index."""
+    small = _rects_df(spark, sf_dir, "part", "p_partkey")
+    big = _rects_df(spark, sf_dir, "lineitem", "(l_orderkey * 10 + l_linenumber)",
+                    id_expr=LINEITEM_ID)
+    idx = SpatialIndex.build(spark, small, max_distance=0.125, validate=False)
+    return idx.proximity_map(big, validate=False, big_kinds={4})
+
+
+def _oracle_rects_prox_rects() -> str:
+    """DuckDB twin of q_rects_prox_rects. Candidates come from a
+    2x-eps-expanded bbox join — a pure SUPERSET prefilter (bbox gap
+    <= true distance <= eps < 2*eps, with the doubled margin dwarfing
+    any half-ulp rounding of the expansion), so it cannot affect the
+    result; the exact filter is the final distance <= 125e-3. Under
+    disjoint closed rects no edge pair intersects, so seg_seg_dist2
+    reduces to the min of the four endpoint-to-opposite-edge clamped
+    projections per edge pair (_psd2_expr), min'd over the 16 pairs in
+    the squared domain and sqrt'd once.
+
+    The driver's lineitem table contains duplicate (orderkey,
+    linenumber) combinations, so lid is NOT row-unique (sf0.01: 60000
+    rows, 45832 distinct) and the engine emits one result row per
+    INPUT row; the edge-min aggregate therefore groups by a synthetic
+    row number, not by lid, to preserve those duplicates."""
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra_p, rb_p = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    lk = LINEITEM_ID
+    px_l, py_l = PX.format(k=f"({lk})"), PY.format(k=f"({lk})")
+    ra_l, rb_l = RA.format(k=f"({lk})"), RB.format(k=f"({lk})")
+    d_a1 = _psd2_expr("bax", "bay", "bdx", "bdy", "aax", "aay")
+    d_a2 = _psd2_expr("bax", "bay", "bdx", "bdy", "abx", "aby")
+    d_b1 = _psd2_expr("aax", "aay", "adx", "ady", "bax", "bay")
+    d_b2 = _psd2_expr("aax", "aay", "adx", "ady", "bbx", "bby")
+    return f"""
+WITH a AS (SELECT p_partkey,
+               ({px_p}) - ({ra_p}) AS xmin, ({py_p}) - ({rb_p}) AS ymin,
+               ({px_p}) + ({ra_p}) AS xmax, ({py_p}) + ({rb_p}) AS ymax FROM part),
+b AS (SELECT {lk} AS lid, row_number() OVER () AS rn,
+               ({px_l}) - ({ra_l}) AS xmin, ({py_l}) - ({rb_l}) AS ymin,
+               ({px_l}) + ({ra_l}) AS xmax, ({py_l}) + ({rb_l}) AS ymax FROM lineitem),
+cand AS (
+  SELECT b.lid, b.rn, a.p_partkey,
+         a.xmin AS axmin, a.ymin AS aymin, a.xmax AS axmax, a.ymax AS aymax,
+         b.xmin AS bxmin, b.ymin AS bymin, b.xmax AS bxmax, b.ymax AS bymax,
+         (a.xmin <= b.xmax AND a.xmax >= b.xmin
+          AND a.ymin <= b.ymax AND a.ymax >= b.ymin) AS hit
+  FROM a JOIN b
+    ON a.xmin <= b.xmax + 25e-2 AND a.xmax >= b.xmin - 25e-2
+   AND a.ymin <= b.ymax + 25e-2 AND a.ymax >= b.ymin - 25e-2
+),
+ea AS (
+  SELECT lid, rn, p_partkey, hit, axmin AS aax, aymin AS aay, axmax AS abx, aymin AS aby,
+         bxmin, bymin, bxmax, bymax FROM cand
+  UNION ALL
+  SELECT lid, rn, p_partkey, hit, axmax, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax FROM cand
+  UNION ALL
+  SELECT lid, rn, p_partkey, hit, axmax, aymax, axmin, aymax, bxmin, bymin, bxmax, bymax FROM cand
+  UNION ALL
+  SELECT lid, rn, p_partkey, hit, axmin, aymax, axmin, aymin, bxmin, bymin, bxmax, bymax FROM cand
+),
+eb AS (
+  SELECT lid, rn, p_partkey, hit, aax, aay, abx, aby,
+         bxmin AS bax, bymin AS bay, bxmax AS bbx, bymin AS bby FROM ea
+  UNION ALL
+  SELECT lid, rn, p_partkey, hit, aax, aay, abx, aby, bxmax, bymin, bxmax, bymax FROM ea
+  UNION ALL
+  SELECT lid, rn, p_partkey, hit, aax, aay, abx, aby, bxmax, bymax, bxmin, bymax FROM ea
+  UNION ALL
+  SELECT lid, rn, p_partkey, hit, aax, aay, abx, aby, bxmin, bymax, bxmin, bymin FROM ea
+),
+sp AS (SELECT lid, rn, p_partkey, hit, aax, aay, abx, aby, bax, bay, bbx, bby,
+              abx - aax AS adx, aby - aay AS ady,
+              bbx - bax AS bdx, bby - bay AS bdy FROM eb),
+d2 AS (SELECT max(lid) AS lid, p_partkey, bool_or(hit) AS hit,
+              min(least({d_a1}, {d_a2}, {d_b1}, {d_b2})) AS mind2
+       FROM sp GROUP BY rn, p_partkey),
+res AS (SELECT lid AS big_id, p_partkey AS small_id,
+               CASE WHEN hit THEN 0e0 ELSE sqrt(mind2) END AS distance
+        FROM d2)
+SELECT big_id, small_id, distance FROM res WHERE distance <= 125e-3
+""".strip()
+
+
 def q_tris_intersect_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRIANGLE Intersects through the engine: supplier triangles vs
     the part-rect index (closed SAT semantics, kernel refine)."""
@@ -1581,6 +1668,7 @@ FROM a JOIN b
         "tris_prox_points": _oracle_tris_prox(),
         "paths_prox_lines": _oracle_paths_prox_lines(),
         "lines_prox_rects": _oracle_lines_prox_rects(),
+        "rects_prox_rects": _oracle_rects_prox_rects(),
         "wkt_dead_letter": _oracle_wkt_dead_letter(),
         "geo_storage_roundtrip": _oracle_geo_storage(),
         "events_rollup_cube": _oracle_events_cube(),
@@ -2789,6 +2877,7 @@ QUERIES = {
     "tris_prox_points": q_tris_prox_points,
     "paths_prox_lines": q_paths_prox_lines,
     "lines_prox_rects": q_lines_prox_rects,
+    "rects_prox_rects": q_rects_prox_rects,
     "prox_with_geos": q_prox_with_geos,
     "knn_points": q_knn_points,
     "knn_skew": q_knn_skew,
