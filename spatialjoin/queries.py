@@ -1088,6 +1088,97 @@ SELECT big_id, small_id, distance FROM res WHERE distance <= 125e-3
 """.strip()
 
 
+def q_quads_prox_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYGON-to-POLYGON proximity — the (POLYGON, POLYGON) cell of
+    the distance kernel (kernels._dst_poly_poly: 0 when intersecting;
+    hole-less rhombi always take the exterior-to-exterior branch — min
+    seg-seg distance over the 4x4 exterior edge pairs): part rhombi
+    within 0.25 of the supplier-rhombus index."""
+    small = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    big = _quads_df(spark, sf_dir, "part", "p_partkey")
+    idx = SpatialIndex.build(spark, small, max_distance=0.25, validate=False)
+    return idx.proximity_map(big, validate=False, big_kinds={3})
+
+
+def _oracle_quads_prox_quads() -> str:
+    """DuckDB twin of q_quads_prox_quads. The zero branch reuses the
+    convex SAT of _oracle_quads_quads (same empirical-bit-agreement
+    caveat); for disjoint hole-less rhombi the kernel's
+    exterior-to-exterior reduction is the min over the 16 edge pairs of
+    the four endpoint-to-opposite-edge clamped projections
+    (_psd2_expr), squared domain, sqrt once. Vertex doubles are the
+    engine coords-array expressions (cx + a etc.) so every edge's
+    deltas round identically."""
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a_s, b_s = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    a_p, b_p = QA.format(k="p_partkey"), QB.format(k="p_partkey")
+    verts = [("(cx{s} + a{s})", "(cy{s})"), ("(cx{s})", "(cy{s} + b{s})"),
+             ("(cx{s} - a{s})", "(cy{s})"), ("(cx{s})", "(cy{s} - b{s})")]
+
+    def poly(side):
+        return [(vx.format(s=side), vy.format(s=side)) for vx, vy in verts]
+
+    def sep_conds(edges_of, verts_of):
+        ev, vv = poly(edges_of), poly(verts_of)
+        conds = []
+        for i in range(4):
+            px, py = ev[i]
+            qx, qy = ev[(i + 1) % 4]
+            crosses = [
+                f"(({qx} - {px}) * ({vy} - {py}) - ({qy} - {py}) * ({vx} - {px})) < 0"
+                for vx, vy in vv
+            ]
+            conds.append("NOT (" + " AND ".join(crosses) + ")")
+        return conds
+
+    sat = "\n         AND ".join(sep_conds("_a", "_b") + sep_conds("_b", "_a"))
+    # edge rows for each side, vertices in _quads_df ring order
+    pa_ = poly("_a")
+    pb_ = poly("_b")
+    ea_rows = ",\n  ".join(
+        f"({pa_[i][0]}, {pa_[i][1]}, {pa_[(i + 1) % 4][0]}, {pa_[(i + 1) % 4][1]})"
+        for i in range(4))
+    eb_rows = ",\n  ".join(
+        f"({pb_[i][0]}, {pb_[i][1]}, {pb_[(i + 1) % 4][0]}, {pb_[(i + 1) % 4][1]})"
+        for i in range(4))
+    d_b1 = _psd2_expr("aax", "aay", "adx", "ady", "bax", "bay")
+    d_b2 = _psd2_expr("aax", "aay", "adx", "ady", "bbx", "bby")
+    d_a1 = _psd2_expr("bax", "bay", "bdx", "bdy", "aax", "aay")
+    d_a2 = _psd2_expr("bax", "bay", "bdx", "bdy", "abx", "aby")
+    return f"""
+WITH qa AS MATERIALIZED (SELECT s_suppkey, {px_s} AS cx_a, {py_s} AS cy_a,
+                   {a_s} AS a_a, {b_s} AS b_a FROM supplier),
+qb AS MATERIALIZED (SELECT p_partkey, {px_p} AS cx_b, {py_p} AS cy_b,
+                   {a_p} AS a_b, {b_p} AS b_b FROM part),
+cand AS (
+  SELECT p_partkey, s_suppkey, cx_a, cy_a, a_a, b_a, cx_b, cy_b, a_b, b_b,
+         ({sat}) AS hit
+  FROM qa, qb
+),
+ea AS (
+  SELECT cand.*, e.aax, e.aay, e.abx, e.aby
+  FROM cand, LATERAL (VALUES
+  {ea_rows}) AS e(aax, aay, abx, aby)
+),
+eb AS (
+  SELECT ea.*, e.bax, e.bay, e.bbx, e.bby
+  FROM ea, LATERAL (VALUES
+  {eb_rows}) AS e(bax, bay, bbx, bby)
+),
+sp AS (SELECT p_partkey, s_suppkey, hit, aax, aay, abx, aby, bax, bay, bbx, bby,
+              abx - aax AS adx, aby - aay AS ady,
+              bbx - bax AS bdx, bby - bay AS bdy FROM eb),
+d2 AS (SELECT p_partkey, s_suppkey, bool_or(hit) AS hit,
+              min(least({d_b1}, {d_b2}, {d_a1}, {d_a2})) AS mind2
+       FROM sp GROUP BY 1, 2),
+res AS (SELECT p_partkey AS big_id, s_suppkey AS small_id,
+               CASE WHEN hit THEN 0e0 ELSE sqrt(mind2) END AS distance
+        FROM d2)
+SELECT big_id, small_id, distance FROM res WHERE distance <= 25e-2
+""".strip()
+
+
 def q_tris_intersect_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRIANGLE Intersects through the engine: supplier triangles vs
     the part-rect index (closed SAT semantics, kernel refine)."""
@@ -1669,6 +1760,7 @@ FROM a JOIN b
         "paths_prox_lines": _oracle_paths_prox_lines(),
         "lines_prox_rects": _oracle_lines_prox_rects(),
         "rects_prox_rects": _oracle_rects_prox_rects(),
+        "quads_prox_quads": _oracle_quads_prox_quads(),
         "wkt_dead_letter": _oracle_wkt_dead_letter(),
         "geo_storage_roundtrip": _oracle_geo_storage(),
         "events_rollup_cube": _oracle_events_cube(),
@@ -2878,6 +2970,7 @@ QUERIES = {
     "paths_prox_lines": q_paths_prox_lines,
     "lines_prox_rects": q_lines_prox_rects,
     "rects_prox_rects": q_rects_prox_rects,
+    "quads_prox_quads": q_quads_prox_quads,
     "prox_with_geos": q_prox_with_geos,
     "knn_points": q_knn_points,
     "knn_skew": q_knn_skew,
