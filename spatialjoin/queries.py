@@ -1179,6 +1179,91 @@ SELECT big_id, small_id, distance FROM res WHERE distance <= 25e-2
 """.strip()
 
 
+def q_tris_prox_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE-to-RECT proximity — the (TRIANGLE, RECT) cell of the
+    distance kernel (_dst_edges_if_disjoint over the closed tri-rect
+    intersect composite: 0 when intersecting, else min seg-seg distance
+    over the 3x4 edge pairs): supplier triangles within 0.25 of the
+    part-rect index."""
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    tris = _tris_df(spark, sf_dir, "supplier", "s_suppkey")
+    idx = SpatialIndex.build(spark, rects, max_distance=0.25, validate=False)
+    return idx.proximity_map(tris, validate=False, big_kinds={5})
+
+
+def _oracle_tris_prox_rects() -> str:
+    """DuckDB twin of q_tris_prox_rects. The zero branch reuses the
+    closed triangle-vs-rect SAT of _oracle_tris_rects (already proven
+    by the tris_intersect_rects row; a disjoint triangle touches no
+    rect edge, so the per-edge-pair zero branch is subsumed); the
+    distance is the min over the 3 triangle edges x 4 corner-ring rect
+    edges of the four endpoint-to-opposite-edge clamped projections
+    (_psd2_expr), squared domain, sqrt once."""
+    cx, cy = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra, rb = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    tedges = [("v0x", "v0y", "v1x", "v1y"), ("v1x", "v1y", "v2x", "v2y"),
+              ("v2x", "v2y", "v0x", "v0y")]
+    corners = [("xmin", "ymin"), ("xmax", "ymin"), ("xmax", "ymax"), ("xmin", "ymax")]
+
+    def cross(pxq, pyq, qxq, qyq, X, Y):
+        return f"(({qxq} - {pxq}) * ({Y} - {pyq}) - ({qyq} - {pyq}) * ({X} - {pxq}))"
+
+    edge_conds = "\n         AND ".join(
+        "NOT (" + " AND ".join(f"{cross(*e, X, Y)} < 0" for X, Y in corners) + ")"
+        for e in tedges
+    )
+    sat = (
+        "least(v0x, v1x, v2x) <= xmax AND greatest(v0x, v1x, v2x) >= xmin\n"
+        "         AND least(v0y, v1y, v2y) <= ymax AND greatest(v0y, v1y, v2y) >= ymin\n"
+        f"         AND {edge_conds}"
+    )
+    ta_rows = ",\n  ".join(f"({e[0]}, {e[1]}, {e[2]}, {e[3]})" for e in tedges)
+    d_b1 = _psd2_expr("aax", "aay", "adx", "ady", "bax", "bay")
+    d_b2 = _psd2_expr("aax", "aay", "adx", "ady", "bbx", "bby")
+    d_a1 = _psd2_expr("bax", "bay", "bdx", "bdy", "aax", "aay")
+    d_a2 = _psd2_expr("bax", "bay", "bdx", "bdy", "abx", "aby")
+    return f"""
+WITH tri AS MATERIALIZED (SELECT s_suppkey,
+            ({cx}) - ({a}) AS v0x, ({cy}) - ({b}) AS v0y,
+            ({cx}) + ({a}) AS v1x, ({cy}) - ({b}) AS v1y,
+            ({cx}) AS v2x, ({cy}) + ({b}) AS v2y FROM supplier),
+rc AS MATERIALIZED (SELECT p_partkey,
+           ({px_p}) - ({ra}) AS xmin, ({py_p}) - ({rb}) AS ymin,
+           ({px_p}) + ({ra}) AS xmax, ({py_p}) + ({rb}) AS ymax FROM part),
+cand AS (
+  SELECT s_suppkey, p_partkey, v0x, v0y, v1x, v1y, v2x, v2y,
+         xmin, ymin, xmax, ymax,
+         ({sat}) AS hit
+  FROM tri, rc
+),
+ea AS (
+  SELECT cand.*, e.aax, e.aay, e.abx, e.aby
+  FROM cand, LATERAL (VALUES
+  {ta_rows}) AS e(aax, aay, abx, aby)
+),
+eb AS (
+  SELECT ea.*, e.bax, e.bay, e.bbx, e.bby
+  FROM ea, LATERAL (VALUES
+  (xmin, ymin, xmax, ymin),
+  (xmax, ymin, xmax, ymax),
+  (xmax, ymax, xmin, ymax),
+  (xmin, ymax, xmin, ymin)) AS e(bax, bay, bbx, bby)
+),
+sp AS (SELECT s_suppkey, p_partkey, hit, aax, aay, abx, aby, bax, bay, bbx, bby,
+              abx - aax AS adx, aby - aay AS ady,
+              bbx - bax AS bdx, bby - bay AS bdy FROM eb),
+d2 AS (SELECT s_suppkey, p_partkey, bool_or(hit) AS hit,
+              min(least({d_b1}, {d_b2}, {d_a1}, {d_a2})) AS mind2
+       FROM sp GROUP BY 1, 2),
+res AS (SELECT s_suppkey AS big_id, p_partkey AS small_id,
+               CASE WHEN hit THEN 0e0 ELSE sqrt(mind2) END AS distance
+        FROM d2)
+SELECT big_id, small_id, distance FROM res WHERE distance <= 25e-2
+""".strip()
+
+
 def q_tris_intersect_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRIANGLE Intersects through the engine: supplier triangles vs
     the part-rect index (closed SAT semantics, kernel refine)."""
@@ -1761,6 +1846,7 @@ FROM a JOIN b
         "lines_prox_rects": _oracle_lines_prox_rects(),
         "rects_prox_rects": _oracle_rects_prox_rects(),
         "quads_prox_quads": _oracle_quads_prox_quads(),
+        "tris_prox_rects": _oracle_tris_prox_rects(),
         "wkt_dead_letter": _oracle_wkt_dead_letter(),
         "geo_storage_roundtrip": _oracle_geo_storage(),
         "events_rollup_cube": _oracle_events_cube(),
@@ -2971,6 +3057,7 @@ QUERIES = {
     "lines_prox_rects": q_lines_prox_rects,
     "rects_prox_rects": q_rects_prox_rects,
     "quads_prox_quads": q_quads_prox_quads,
+    "tris_prox_rects": q_tris_prox_rects,
     "prox_with_geos": q_prox_with_geos,
     "knn_points": q_knn_points,
     "knn_skew": q_knn_skew,
