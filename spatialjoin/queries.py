@@ -1001,6 +1001,127 @@ SELECT big_id, small_id, distance FROM res WHERE distance <= 25e-2
 """.strip()
 
 
+def q_paths_prox_donuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity of LINESTRING paths against HOLED polygons — the
+    (LINESTRING, POLYGON) cell of the distance kernel INCLUDING the
+    geo-0.14 hole-selection rule (kernels._dst_path_poly, citing
+    relates_impl.rs:492-522): distance is 0 when the composite
+    path-polygon intersects fires (any segment crossing on ANY ring, or
+    any path vertex strictly inside the polygon); otherwise, when the
+    path's FIRST vertex sits inside-or-on the EXTERIOR ring — i.e. the
+    disjoint path lives in the HOLE — the distance is measured to the
+    HOLE ring, else to the EXTERIOR ring. Supplier donut rhombi index,
+    orders 2-segment paths probe, epsilon 0.25. All three branches fire
+    at driver scale (sf0.01: 13068 zero-distance hits, 7367
+    exterior-ring distances, 695 hole-ring distances), and the full
+    result is hash-exact vs the oracle at sf0.001 and sf0.01."""
+    donuts = _donuts_df(spark, sf_dir, "supplier", "s_suppkey")
+    paths = _paths_df(spark, sf_dir, "orders", "o_orderkey")
+    idx = SpatialIndex.build(spark, donuts, max_distance=0.25, validate=False)
+    return idx.proximity_map(paths, validate=False, big_kinds={2})
+
+
+def _oracle_paths_prox_donuts() -> str:
+    """DuckDB twin of q_paths_prox_donuts. Zero branch: the
+    paths_prox_lines segs_intersect composite (proper straddle via four
+    cross products + collinear touch via inclusive bbox) evaluated per
+    (path segment, ring segment) over BOTH rings, OR any path vertex
+    strictly inside the donut (the _oracle_donut_quads convex
+    cross-product form of kernels.point_in_poly_strict). Hole rule:
+    when the FIRST path vertex is inside-or-on the exterior ring (all
+    four CCW cross products >= 0 — parity+boundary on a convex rhombus)
+    the distance aggregates the HOLE ring's four segments, else the
+    EXTERIOR ring's. Per segment pair the distance is the least of the
+    four clamped-projection point-segment distances (_psd2_expr),
+    min'd per ring in the squared domain, sqrt once — under
+    disjointness this is exactly kernels.seg_seg_dist2."""
+    ko = "o_orderkey"
+    ox0, oy0 = PX.format(k=ko), PY.format(k=ko)
+    odx1, ody1 = DX1.format(k=ko), DY1.format(k=ko)
+    odx2, ody2 = DX2.format(k=f"({ko} + 7)"), DY2.format(k=f"({ko} + 7)")
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    # seg-seg distances: path endpoints -> ring seg, ring endpoints -> path seg
+    d_b1 = _psd2_expr("pax", "pay", "pdx", "pdy", "rax", "ray")
+    d_b2 = _psd2_expr("pax", "pay", "pdx", "pdy", "rbx", "rby")
+    d_a1 = _psd2_expr("rax", "ray", "rdx", "rdy", "pax", "pay")
+    d_a2 = _psd2_expr("rax", "ray", "rdx", "rdy", "pbx", "pby")
+    cross = ("(({bx}) - ({ox})) * (({py}) - ({oy}))"
+             " - (({by}) - ({oy})) * (({px}) - ({ox}))")
+    c1 = cross.format(ox="rax", oy="ray", bx="rbx", by="rby", px="pax", py="pay")
+    c2 = cross.format(ox="rax", oy="ray", bx="rbx", by="rby", px="pbx", py="pby")
+    c3 = cross.format(ox="pax", oy="pay", bx="pbx", by="pby", px="rax", py="ray")
+    c4 = cross.format(ox="pax", oy="pay", bx="pbx", by="pby", px="rbx", py="rby")
+    onb = ("(({px}) >= least({ax}, {bx}) AND ({px}) <= greatest({ax}, {bx})"
+           " AND ({py}) >= least({ay}, {by}) AND ({py}) <= greatest({ay}, {by}))")
+    on_r_a1 = onb.format(ax="rax", ay="ray", bx="rbx", by="rby", px="pax", py="pay")
+    on_r_a2 = onb.format(ax="rax", ay="ray", bx="rbx", by="rby", px="pbx", py="pby")
+    on_p_b1 = onb.format(ax="pax", ay="pay", bx="pbx", by="pby", px="rax", py="ray")
+    on_p_b2 = onb.format(ax="pax", ay="pay", bx="pbx", by="pby", px="rbx", py="rby")
+    # convex cross-product containment per the _oracle_donut_quads form
+    pip = ("((cx) - (cx + {h}a)) * (({py}) - cy) - ((cy + {h}b) - cy) * (({px}) - (cx + {h}a)) {op} 0"
+           " AND ((cx - {h}a) - cx) * (({py}) - (cy + {h}b)) - (cy - (cy + {h}b)) * (({px}) - cx) {op} 0"
+           " AND (cx - (cx - {h}a)) * (({py}) - cy) - ((cy - {h}b) - cy) * (({px}) - (cx - {h}a)) {op} 0"
+           " AND ((cx + {h}a) - cx) * (({py}) - (cy - {h}b)) - (cy - (cy - {h}b)) * (({px}) - cx) {op} 0")
+    strict_pip = ("(" + pip.format(h="", op=">", px="px", py="py") + ") AND NOT ("
+                  + pip.format(h="h", op=">=", px="px", py="py") + ")")
+    in_or_on_ext = "(" + pip.format(h="", op=">=", px="px", py="py") + ")"
+    return f"""
+WITH pth AS MATERIALIZED (SELECT o_orderkey, {ox0} AS v0x, {oy0} AS v0y,
+               ({ox0}) + ({odx1}) AS v1x, ({oy0}) + ({ody1}) AS v1y,
+               (({ox0}) + ({odx1})) + ({odx2}) AS v2x,
+               (({oy0}) + ({ody1})) + ({ody2}) AS v2y FROM orders),
+pseg AS MATERIALIZED (
+  SELECT o_orderkey, v0x AS pax, v0y AS pay, v1x AS pbx, v1y AS pby FROM pth
+  UNION ALL
+  SELECT o_orderkey, v1x, v1y, v2x, v2y FROM pth
+),
+dn AS (SELECT s_suppkey, {px_s} AS cx, {py_s} AS cy, {a} AS a, {b} AS b,
+              ({a}) * 5e-1 AS ha, ({b}) * 5e-1 AS hb FROM supplier),
+ringseg AS MATERIALIZED (
+  SELECT s_suppkey, 0 AS ring, cx + a AS rax, cy AS ray, cx AS rbx, cy + b AS rby FROM dn
+  UNION ALL SELECT s_suppkey, 0, cx, cy + b, cx - a, cy FROM dn
+  UNION ALL SELECT s_suppkey, 0, cx - a, cy, cx, cy - b FROM dn
+  UNION ALL SELECT s_suppkey, 0, cx, cy - b, cx + a, cy FROM dn
+  UNION ALL SELECT s_suppkey, 1, cx + ha, cy, cx, cy + hb FROM dn
+  UNION ALL SELECT s_suppkey, 1, cx, cy + hb, cx - ha, cy FROM dn
+  UNION ALL SELECT s_suppkey, 1, cx - ha, cy, cx, cy - hb FROM dn
+  UNION ALL SELECT s_suppkey, 1, cx, cy - hb, cx + ha, cy FROM dn
+),
+sp AS (SELECT o_orderkey, s_suppkey, ring,
+              pax, pay, pbx, pby, pbx - pax AS pdx, pby - pay AS pdy,
+              rax, ray, rbx, rby, rbx - rax AS rdx, rby - ray AS rdy
+       FROM pseg, ringseg),
+dd AS (SELECT o_orderkey, s_suppkey, ring,
+              {c1} AS c1, {c2} AS c2, {c3} AS c3, {c4} AS c4,
+              least({d_b1}, {d_b2}, {d_a1}, {d_a2}) AS d2min,
+              {on_r_a1} AS o1, {on_r_a2} AS o2, {on_p_b1} AS o3, {on_p_b2} AS o4
+       FROM sp),
+agg AS (SELECT o_orderkey, s_suppkey,
+               bool_or((((c1 > 0 AND c2 < 0) OR (c1 < 0 AND c2 > 0))
+                        AND ((c3 > 0 AND c4 < 0) OR (c3 < 0 AND c4 > 0)))
+                       OR (c1 = 0 AND o1) OR (c2 = 0 AND o2)
+                       OR (c3 = 0 AND o3) OR (c4 = 0 AND o4)) AS hit_seg,
+               min(CASE WHEN ring = 0 THEN d2min END) AS d2_ext,
+               min(CASE WHEN ring = 1 THEN d2min END) AS d2_hole
+        FROM dd GROUP BY 1, 2),
+pv AS (SELECT o_orderkey, 0 AS vi, v0x AS px, v0y AS py FROM pth
+       UNION ALL SELECT o_orderkey, 1, v1x, v1y FROM pth
+       UNION ALL SELECT o_orderkey, 2, v2x, v2y FROM pth),
+vt AS (SELECT pv.o_orderkey, dn.s_suppkey,
+              bool_or({strict_pip}) AS hit_vtx,
+              bool_or(vi = 0 AND {in_or_on_ext}) AS in_ext
+       FROM pv, dn GROUP BY 1, 2),
+res AS (SELECT agg.o_orderkey AS big_id, agg.s_suppkey AS small_id,
+               CASE WHEN hit_seg OR hit_vtx THEN 0e0
+                    ELSE sqrt(CASE WHEN in_ext THEN d2_hole ELSE d2_ext END)
+               END AS distance
+        FROM agg JOIN vt ON vt.o_orderkey = agg.o_orderkey
+                        AND vt.s_suppkey = agg.s_suppkey)
+SELECT big_id, small_id, distance FROM res WHERE distance <= 25e-2
+""".strip()
+
+
 def q_rects_prox_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AREA-to-AREA proximity — the (RECT, RECT) cell of the distance
     kernel (_dst_edges_if_disjoint over _int_rect_rect: 0 when the
@@ -1843,6 +1964,7 @@ FROM a JOIN b
         "rects_prox_points": _oracle_rects_prox(),
         "tris_prox_points": _oracle_tris_prox(),
         "paths_prox_lines": _oracle_paths_prox_lines(),
+        "paths_prox_donuts": _oracle_paths_prox_donuts(),
         "lines_prox_rects": _oracle_lines_prox_rects(),
         "rects_prox_rects": _oracle_rects_prox_rects(),
         "quads_prox_quads": _oracle_quads_prox_quads(),
@@ -3054,6 +3176,7 @@ QUERIES = {
     "rects_prox_points": q_rects_prox_points,
     "tris_prox_points": q_tris_prox_points,
     "paths_prox_lines": q_paths_prox_lines,
+    "paths_prox_donuts": q_paths_prox_donuts,
     "lines_prox_rects": q_lines_prox_rects,
     "rects_prox_rects": q_rects_prox_rects,
     "quads_prox_quads": q_quads_prox_quads,
