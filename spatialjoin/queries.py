@@ -1884,6 +1884,220 @@ FROM pr GROUP BY small_id
 """.strip()
 
 
+# -- remaining kind-pair kernel cells at driver level --------------------------
+
+
+def q_points_intersect_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT x POINT intersects — the reference's exact-f64-equality
+    quirk (relates_impl.rs:415-417, kernels._int_pt_pt) observed at
+    driver level: both sides fold their key mod 97 before the hash
+    derivation, so distinct rows land on bit-identical coordinates
+    exactly when the folded keys collide (plus any genuine hash
+    collisions, which both engines compute identically). Supplier
+    points indexed, customer points probe."""
+    fk_s, fk_c = "(s_suppkey % 97)", "(c_custkey % 97)"
+    px_s, py_s = PX.format(k=fk_s), PY.format(k=fk_s)
+    px_c, py_c = PX.format(k=fk_c), PY.format(k=fk_c)
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        "s_suppkey as id", "0 as kind",
+        f"array({px_s}, {py_s}) as coords",
+        "cast(null as array<int>) as rings",
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey as id", "0 as kind",
+        f"array({px_c}, {py_c}) as coords",
+        "cast(null as array<int>) as rings",
+    )
+    idx = SpatialIndex.build(spark, sup, validate=False)
+    return idx.spatial_join(cust, how="intersects", validate=False, big_kinds={0})
+
+
+def _oracle_points_points() -> str:
+    """DuckDB twin of q_points_intersect_points: equality join on the
+    SAME folded-key hash expressions — exact f64 equality is the one
+    predicate whose oracle needs no geometric reasoning at all."""
+    fk_s, fk_c = "(s_suppkey % 97)", "(c_custkey % 97)"
+    px_s, py_s = PX.format(k=fk_s), PY.format(k=fk_s)
+    px_c, py_c = PX.format(k=fk_c), PY.format(k=fk_c)
+    return f"""
+WITH sp AS (SELECT s_suppkey, {px_s} AS sx, {py_s} AS sy FROM supplier),
+cp AS (SELECT c_custkey, {px_c} AS cx, {py_c} AS cy FROM customer)
+SELECT cp.c_custkey AS big_id, sp.s_suppkey AS small_id
+FROM cp JOIN sp ON cp.cx = sp.sx AND cp.cy = sp.sy
+""".strip()
+
+
+# the segs_intersect predicate over CTE columns (sax,say,sbx,sby) for
+# the indexed-side segment and (pax,pay,pbx,pby) for the probe-side
+# segment — the exact expression text of kernels.segs_intersect
+# (proper straddle via four cross products, collinear touch via the
+# inclusive bbox test), shared by every seg x seg intersects oracle
+def _seg_seg_intersect_pred() -> str:
+    cross = ("(({bx}) - ({ox})) * (({py}) - ({oy}))"
+             " - (({by}) - ({oy})) * (({px}) - ({ox}))")
+    d1 = cross.format(ox="sax", oy="say", bx="sbx", by="sby", px="pax", py="pay")
+    d2 = cross.format(ox="sax", oy="say", bx="sbx", by="sby", px="pbx", py="pby")
+    d3 = cross.format(ox="pax", oy="pay", bx="pbx", by="pby", px="sax", py="say")
+    d4 = cross.format(ox="pax", oy="pay", bx="pbx", by="pby", px="sbx", py="sby")
+    onb = ("(({px}) >= least({ax}, {bx}) AND ({px}) <= greatest({ax}, {bx})"
+           " AND ({py}) >= least({ay}, {by}) AND ({py}) <= greatest({ay}, {by}))")
+    on_s_p1 = onb.format(ax="sax", ay="say", bx="sbx", by="sby", px="pax", py="pay")
+    on_s_p2 = onb.format(ax="sax", ay="say", bx="sbx", by="sby", px="pbx", py="pby")
+    on_p_s1 = onb.format(ax="pax", ay="pay", bx="pbx", by="pby", px="sax", py="say")
+    on_p_s2 = onb.format(ax="pax", ay="pay", bx="pbx", by="pby", px="sbx", py="sby")
+    return (f"((((({d1}) > 0 AND ({d2}) < 0) OR (({d1}) < 0 AND ({d2}) > 0))\n"
+            f"   AND ((({d3}) > 0 AND ({d4}) < 0) OR (({d3}) < 0 AND ({d4}) > 0)))\n"
+            f"  OR (({d1}) = 0 AND {on_s_p1}) OR (({d2}) = 0 AND {on_s_p2})\n"
+            f"  OR (({d3}) = 0 AND {on_p_s1}) OR (({d4}) = 0 AND {on_p_s2}))")
+
+
+def q_lines_intersect_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE x LINE intersects — the pure segment-segment cell of the
+    Intersects table (kernels.segs_intersect: proper straddle OR
+    collinear/endpoint touch; relates_impl.rs Line/Line arm): supplier
+    single-segment lines indexed, orders lines probe."""
+    small = _lines_df(spark, sf_dir, "supplier", "s_suppkey")
+    big = _lines_df(spark, sf_dir, "orders", "o_orderkey")
+    idx = SpatialIndex.build(spark, small, validate=False)
+    return idx.spatial_join(big, how="intersects", validate=False, big_kinds={1})
+
+
+def _oracle_lines_lines() -> str:
+    """DuckDB twin of q_lines_intersect_lines: _seg_seg_intersect_pred
+    over the same vertex doubles. The cross products mirror
+    kernels._cross operand-for-operand; the proper/touch composite is
+    symmetric under swapping the (d1,d2) and (d3,d4) pairs, so the
+    base-segment choice cannot change the boolean."""
+    x0, y0 = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    dx1, dy1 = DX1.format(k="s_suppkey"), DY1.format(k="s_suppkey")
+    ox0, oy0 = PX.format(k="o_orderkey"), PY.format(k="o_orderkey")
+    odx1, ody1 = DX1.format(k="o_orderkey"), DY1.format(k="o_orderkey")
+    return f"""
+WITH sl AS MATERIALIZED (SELECT s_suppkey, {x0} AS sax, {y0} AS say,
+               ({x0}) + ({dx1}) AS sbx, ({y0}) + ({dy1}) AS sby FROM supplier),
+pl AS MATERIALIZED (SELECT o_orderkey, {ox0} AS pax, {oy0} AS pay,
+               ({ox0}) + ({odx1}) AS pbx, ({oy0}) + ({ody1}) AS pby FROM orders)
+SELECT pl.o_orderkey AS big_id, sl.s_suppkey AS small_id
+FROM pl, sl
+WHERE {_seg_seg_intersect_pred()}
+""".strip()
+
+
+def q_paths_intersect_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINESTRING x LINESTRING intersects — any of the 2x2 segment
+    pairs intersects (kernels._int_path_path -> _segsets_any_intersect):
+    supplier 2-segment paths indexed, orders paths probe."""
+    small = _paths_df(spark, sf_dir, "supplier", "s_suppkey")
+    big = _paths_df(spark, sf_dir, "orders", "o_orderkey")
+    idx = SpatialIndex.build(spark, small, validate=False)
+    return idx.spatial_join(big, how="intersects", validate=False, big_kinds={2})
+
+
+def _oracle_paths_paths() -> str:
+    """DuckDB twin of q_paths_intersect_paths: both paths unnested into
+    their two segments (same vertex-chain expression text as
+    _paths_df), cross-joined, _seg_seg_intersect_pred per segment pair,
+    DISTINCT id pairs = the kernel's any-aggregation."""
+    sx0, sy0 = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    sdx1, sdy1 = DX1.format(k="s_suppkey"), DY1.format(k="s_suppkey")
+    sdx2, sdy2 = DX2.format(k="(s_suppkey + 7)"), DY2.format(k="(s_suppkey + 7)")
+    ox0, oy0 = PX.format(k="o_orderkey"), PY.format(k="o_orderkey")
+    odx1, ody1 = DX1.format(k="o_orderkey"), DY1.format(k="o_orderkey")
+    odx2, ody2 = DX2.format(k="(o_orderkey + 7)"), DY2.format(k="(o_orderkey + 7)")
+    return f"""
+WITH sv AS MATERIALIZED (SELECT s_suppkey, {sx0} AS v0x, {sy0} AS v0y,
+               ({sx0}) + ({sdx1}) AS v1x, ({sy0}) + ({sdy1}) AS v1y,
+               (({sx0}) + ({sdx1})) + ({sdx2}) AS v2x,
+               (({sy0}) + ({sdy1})) + ({sdy2}) AS v2y FROM supplier),
+ssig AS MATERIALIZED (
+  SELECT s_suppkey, v0x AS sax, v0y AS say, v1x AS sbx, v1y AS sby FROM sv
+  UNION ALL
+  SELECT s_suppkey, v1x, v1y, v2x, v2y FROM sv
+),
+pv AS MATERIALIZED (SELECT o_orderkey, {ox0} AS v0x, {oy0} AS v0y,
+               ({ox0}) + ({odx1}) AS v1x, ({oy0}) + ({ody1}) AS v1y,
+               (({ox0}) + ({odx1})) + ({odx2}) AS v2x,
+               (({oy0}) + ({ody1})) + ({ody2}) AS v2y FROM orders),
+psig AS MATERIALIZED (
+  SELECT o_orderkey, v0x AS pax, v0y AS pay, v1x AS pbx, v1y AS pby FROM pv
+  UNION ALL
+  SELECT o_orderkey, v1x, v1y, v2x, v2y FROM pv
+)
+SELECT DISTINCT psig.o_orderkey AS big_id, ssig.s_suppkey AS small_id
+FROM psig, ssig
+WHERE {_seg_seg_intersect_pred()}
+""".strip()
+
+
+def _path_vertex_points_df(spark, sf_dir) -> DataFrame:
+    """Probe points constructed EXACTLY on order-path vertices (every
+    16th-ish order): even ids take the path's TERMINAL vertex, odd ids
+    its interior MIDDLE vertex — the same Spark expression text that
+    builds the path, so the on-segment cross products are exact zeros
+    in both engines."""
+    k = "o_orderkey"
+    x0, y0 = PX.format(k=k), PY.format(k=k)
+    dx1, dy1 = DX1.format(k=k), DY1.format(k=k)
+    dx2, dy2 = DX2.format(k=f"({k} + 7)"), DY2.format(k=f"({k} + 7)")
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").where("o_orderkey % 32 = 0")
+    end = base.selectExpr(
+        f"{k} * 2 as id", "0 as kind",
+        f"array((({x0}) + ({dx1})) + ({dx2}), (({y0}) + ({dy1})) + ({dy2})) as coords",
+        "cast(null as array<int>) as rings",
+    )
+    mid = base.selectExpr(
+        f"{k} * 2 + 1 as id", "0 as kind",
+        f"array(({x0}) + ({dx1}), ({y0}) + ({dy1})) as coords",
+        "cast(null as array<int>) as rings",
+    )
+    return end.unionAll(mid)
+
+
+def q_points_on_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT x LINESTRING intersects — the documented endpoint-INCLUSIVE
+    deviation (kernels._int_pt_path / point_on_seg; geo 0.14's
+    line_string_contains_point would EXCLUDE the terminal vertices)
+    observed at driver level: probe points sit bit-exactly on path
+    terminal and interior vertices, so every probe matches its own
+    path only because endpoints count."""
+    paths = _paths_df(spark, sf_dir, "orders", "o_orderkey")
+    pts = _path_vertex_points_df(spark, sf_dir)
+    idx = SpatialIndex.build(spark, paths, validate=False)
+    return idx.spatial_join(pts, how="intersects", validate=False, big_kinds={0})
+
+
+def _oracle_points_on_paths() -> str:
+    """DuckDB twin of q_points_on_paths: point_on_seg verbatim (cross
+    product exactly zero AND inside the segment's inclusive bbox) over
+    both segments of every path; DISTINCT pairs."""
+    k = "o_orderkey"
+    x0, y0 = PX.format(k=k), PY.format(k=k)
+    dx1, dy1 = DX1.format(k=k), DY1.format(k=k)
+    dx2, dy2 = DX2.format(k=f"({k} + 7)"), DY2.format(k=f"({k} + 7)")
+    return f"""
+WITH pv AS MATERIALIZED (SELECT o_orderkey, {x0} AS v0x, {y0} AS v0y,
+               ({x0}) + ({dx1}) AS v1x, ({y0}) + ({dy1}) AS v1y,
+               (({x0}) + ({dx1})) + ({dx2}) AS v2x,
+               (({y0}) + ({dy1})) + ({dy2}) AS v2y FROM orders),
+segs AS MATERIALIZED (
+  SELECT o_orderkey, v0x AS ax, v0y AS ay, v1x AS bx2, v1y AS by2 FROM pv
+  UNION ALL
+  SELECT o_orderkey, v1x, v1y, v2x, v2y FROM pv
+),
+base AS (SELECT o_orderkey, v1x, v1y, v2x, v2y FROM pv WHERE o_orderkey % 32 = 0),
+pts AS MATERIALIZED (
+  SELECT o_orderkey * 2 AS pid, v2x AS px, v2y AS py FROM base
+  UNION ALL
+  SELECT o_orderkey * 2 + 1, v1x, v1y FROM base
+)
+SELECT DISTINCT pts.pid AS big_id, segs.o_orderkey AS small_id
+FROM pts, segs
+WHERE ((bx2 - ax) * (py - ay) - (by2 - ay) * (px - ax)) = 0
+  AND px >= least(ax, bx2) AND px <= greatest(ax, bx2)
+  AND py >= least(ay, by2) AND py <= greatest(ay, by2)
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
     px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
@@ -1920,6 +2134,10 @@ FROM a JOIN b
         "pip_quad_pairs": _oracle_pip_quads(small_within_big=False),
         "points_within_quads": _oracle_pip_quads(small_within_big=True),
         "quads_intersect_quads": _oracle_quads_quads(),
+        "points_intersect_points": _oracle_points_points(),
+        "lines_intersect_lines": _oracle_lines_lines(),
+        "paths_intersect_paths": _oracle_paths_paths(),
+        "points_on_paths": _oracle_points_on_paths(),
         "donut_quads_contain_points": _oracle_donut_quads(),
         "wkt_quads_contain_points": _oracle_wkt_quads(),
         "geom_measures": _oracle_geom_measures(),
@@ -3150,6 +3368,10 @@ QUERIES = {
     "pip_quad_pairs": q_pip_quad_pairs,
     "points_within_quads": q_points_within_quads,
     "quads_intersect_quads": q_quads_intersect_quads,
+    "points_intersect_points": q_points_intersect_points,
+    "lines_intersect_lines": q_lines_intersect_lines,
+    "paths_intersect_paths": q_paths_intersect_paths,
+    "points_on_paths": q_points_on_paths,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
     "rects_intersect_cogroup": q_rects_intersect_cogroup,
