@@ -2098,6 +2098,163 @@ WHERE ((bx2 - ax) * (py - ay) - (by2 - ay) * (px - ax)) = 0
 """.strip()
 
 
+def _pt_in_tri_pred(px: str, py: str) -> str:
+    """kernels.point_in_tri over CTE columns v0x..v2y: same-side test,
+    boundary inclusive (degenerate-triangle override unreachable — the
+    synthetic triangles have half-sizes >= 0.5)."""
+    d1 = f"((v1x - v0x) * (({py}) - v0y) - (v1y - v0y) * (({px}) - v0x))"
+    d2 = f"((v2x - v1x) * (({py}) - v1y) - (v2y - v1y) * (({px}) - v1x))"
+    d3 = f"((v0x - v2x) * (({py}) - v2y) - (v0y - v2y) * (({px}) - v2x))"
+    return (f"NOT (({d1} < 0 OR {d2} < 0 OR {d3} < 0)"
+            f" AND ({d1} > 0 OR {d2} > 0 OR {d3} > 0))")
+
+
+def _quarter_tris_df(spark, sf_dir) -> DataFrame:
+    """Quarter-scale customer triangles on the FOLDED key domain
+    (c_custkey % 97): center and half-sizes derive from the folded key
+    with the same expressions as the supplier quads, scaled by the
+    exact-binary 25e-2 — folded-key collisions are concentric
+    strictly-inside triangles."""
+    fk = "(c_custkey % 97)"
+    cx, cy = PX.format(k=fk), PY.format(k=fk)
+    a, b = QA.format(k=fk), QB.format(k=fk)
+    ta, tb = f"({a}) * 25e-2", f"({b}) * 25e-2"
+    return spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey as id", "5 as kind",
+        f"array(({cx}) - ({ta}), ({cy}) - ({tb}), ({cx}) + ({ta}), ({cy}) - ({tb}), "
+        f"({cx}), ({cy}) + ({tb})) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def q_tris_intersect_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE x POLYGON intersects — the reference's hole-rule
+    composite on its hole-LESS branch (kernels._int_tri_poly,
+    relates_impl.rs:359-367): triangle-edge x exterior-ring crossings OR
+    any polygon vertex inside the triangle. Because the reference's
+    LineString.Contains(Triangle) is constant false, a triangle
+    STRICTLY INSIDE a hole-less polygon does NOT intersect it — the
+    triangle side folds its key mod 97 and shrinks to QUARTER scale, so
+    every folded-key collision with a supplier produces a triangle
+    bit-exactly concentric with (and strictly inside) that supplier's
+    quad: a guaranteed swallowed pair at every sf (asserted absent from
+    the result in tests/test_entry_contract.py). Supplier quads
+    indexed, customer triangles probe."""
+    quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    tris = _quarter_tris_df(spark, sf_dir)
+    idx = SpatialIndex.build(spark, quads, validate=False)
+    return idx.spatial_join(tris, how="intersects", validate=False, big_kinds={5})
+
+
+def _oracle_tris_quads() -> str:
+    """DuckDB twin of q_tris_intersect_quads: UNION of the 3x4
+    segment-pair crossings (_seg_seg_intersect_pred) and the quad's
+    four distinct vertices under the point-in-triangle same-side test —
+    deliberately NO triangle-vertex-in-quad term, mirroring the
+    kernel's asymmetric composite verbatim."""
+    fk = "(c_custkey % 97)"
+    cx, cy = PX.format(k=fk), PY.format(k=fk)
+    a, b = QA.format(k=fk), QB.format(k=fk)
+    ta, tb = f"(({a}) * 25e-2)", f"(({b}) * 25e-2)"
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    qa, qb = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    return f"""
+WITH tri AS MATERIALIZED (SELECT c_custkey,
+            ({cx}) - ({ta}) AS v0x, ({cy}) - ({tb}) AS v0y,
+            ({cx}) + ({ta}) AS v1x, ({cy}) - ({tb}) AS v1y,
+            ({cx}) AS v2x, ({cy}) + ({tb}) AS v2y FROM customer),
+qd AS MATERIALIZED (SELECT s_suppkey,
+            ({px_s}) + ({qa}) AS q0x, ({py_s}) AS q0y,
+            ({px_s}) AS q1x, ({py_s}) + ({qb}) AS q1y,
+            ({px_s}) - ({qa}) AS q2x, ({py_s}) AS q2y,
+            ({px_s}) AS q3x, ({py_s}) - ({qb}) AS q3y FROM supplier),
+tseg AS MATERIALIZED (
+  SELECT c_custkey, v0x AS sax, v0y AS say, v1x AS sbx, v1y AS sby FROM tri
+  UNION ALL SELECT c_custkey, v1x, v1y, v2x, v2y FROM tri
+  UNION ALL SELECT c_custkey, v2x, v2y, v0x, v0y FROM tri
+),
+qseg AS MATERIALIZED (
+  SELECT s_suppkey, q0x AS pax, q0y AS pay, q1x AS pbx, q1y AS pby FROM qd
+  UNION ALL SELECT s_suppkey, q1x, q1y, q2x, q2y FROM qd
+  UNION ALL SELECT s_suppkey, q2x, q2y, q3x, q3y FROM qd
+  UNION ALL SELECT s_suppkey, q3x, q3y, q0x, q0y FROM qd
+),
+qvert AS MATERIALIZED (
+  SELECT s_suppkey, q0x AS px, q0y AS py FROM qd
+  UNION ALL SELECT s_suppkey, q1x, q1y FROM qd
+  UNION ALL SELECT s_suppkey, q2x, q2y FROM qd
+  UNION ALL SELECT s_suppkey, q3x, q3y FROM qd
+)
+SELECT DISTINCT big_id, small_id FROM (
+  SELECT tseg.c_custkey AS big_id, qseg.s_suppkey AS small_id
+  FROM tseg, qseg WHERE {_seg_seg_intersect_pred()}
+  UNION
+  SELECT tri.c_custkey, qvert.s_suppkey
+  FROM tri, qvert WHERE {_pt_in_tri_pred("qvert.px", "qvert.py")}
+)
+""".strip()
+
+
+def q_tris_intersect_tris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE x TRIANGLE intersects (kernels._int_tri_tri via the
+    generic crossings-or-vertex-containment composite, both
+    directions): supplier triangles indexed, part triangles probe."""
+    small = _tris_df(spark, sf_dir, "supplier", "s_suppkey")
+    big = _tris_df(spark, sf_dir, "part", "p_partkey")
+    idx = SpatialIndex.build(spark, small, validate=False)
+    return idx.spatial_join(big, how="intersects", validate=False, big_kinds={5})
+
+
+def _oracle_tris_tris() -> str:
+    """DuckDB twin of q_tris_intersect_tris: 3x3 segment crossings OR
+    either triangle's vertices inside the other (point-in-triangle
+    same-side, boundary inclusive, both directions)."""
+    sx, sy = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    sa, sb = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    pa, pb = QA.format(k="p_partkey"), QB.format(k="p_partkey")
+    return f"""
+WITH ts AS MATERIALIZED (SELECT s_suppkey,
+            ({sx}) - ({sa}) AS v0x, ({sy}) - ({sb}) AS v0y,
+            ({sx}) + ({sa}) AS v1x, ({sy}) - ({sb}) AS v1y,
+            ({sx}) AS v2x, ({sy}) + ({sb}) AS v2y FROM supplier),
+tp AS MATERIALIZED (SELECT p_partkey,
+            ({px_p}) - ({pa}) AS v0x, ({py_p}) - ({pb}) AS v0y,
+            ({px_p}) + ({pa}) AS v1x, ({py_p}) - ({pb}) AS v1y,
+            ({px_p}) AS v2x, ({py_p}) + ({pb}) AS v2y FROM part),
+sseg AS MATERIALIZED (
+  SELECT s_suppkey, v0x AS sax, v0y AS say, v1x AS sbx, v1y AS sby FROM ts
+  UNION ALL SELECT s_suppkey, v1x, v1y, v2x, v2y FROM ts
+  UNION ALL SELECT s_suppkey, v2x, v2y, v0x, v0y FROM ts
+),
+pseg AS MATERIALIZED (
+  SELECT p_partkey, v0x AS pax, v0y AS pay, v1x AS pbx, v1y AS pby FROM tp
+  UNION ALL SELECT p_partkey, v1x, v1y, v2x, v2y FROM tp
+  UNION ALL SELECT p_partkey, v2x, v2y, v0x, v0y FROM tp
+),
+svert AS MATERIALIZED (
+  SELECT s_suppkey, v0x AS px, v0y AS py FROM ts
+  UNION ALL SELECT s_suppkey, v1x, v1y FROM ts
+  UNION ALL SELECT s_suppkey, v2x, v2y FROM ts
+),
+pvert AS MATERIALIZED (
+  SELECT p_partkey, v0x AS px, v0y AS py FROM tp
+  UNION ALL SELECT p_partkey, v1x, v1y FROM tp
+  UNION ALL SELECT p_partkey, v2x, v2y FROM tp
+)
+SELECT DISTINCT big_id, small_id FROM (
+  SELECT pseg.p_partkey AS big_id, sseg.s_suppkey AS small_id
+  FROM sseg, pseg WHERE {_seg_seg_intersect_pred()}
+  UNION
+  SELECT pvert.p_partkey, ts.s_suppkey
+  FROM ts, pvert WHERE {_pt_in_tri_pred("pvert.px", "pvert.py")}
+  UNION
+  SELECT tp.p_partkey, svert.s_suppkey
+  FROM tp, svert WHERE {_pt_in_tri_pred("svert.px", "svert.py")}
+)
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
     px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
@@ -2138,6 +2295,8 @@ FROM a JOIN b
         "lines_intersect_lines": _oracle_lines_lines(),
         "paths_intersect_paths": _oracle_paths_paths(),
         "points_on_paths": _oracle_points_on_paths(),
+        "tris_intersect_quads": _oracle_tris_quads(),
+        "tris_intersect_tris": _oracle_tris_tris(),
         "donut_quads_contain_points": _oracle_donut_quads(),
         "wkt_quads_contain_points": _oracle_wkt_quads(),
         "geom_measures": _oracle_geom_measures(),
@@ -3372,6 +3531,8 @@ QUERIES = {
     "lines_intersect_lines": q_lines_intersect_lines,
     "paths_intersect_paths": q_paths_intersect_paths,
     "points_on_paths": q_points_on_paths,
+    "tris_intersect_quads": q_tris_intersect_quads,
+    "tris_intersect_tris": q_tris_intersect_tris,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
     "rects_intersect_cogroup": q_rects_intersect_cogroup,

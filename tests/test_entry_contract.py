@@ -86,6 +86,22 @@ def test_strategy_queries_engage_their_paths(spark):
         assert op not in plan, op
     idx.unpersist()
 
+    # the tri x quad hole-rule row must actually SWALLOW pairs: folded
+    # keys guarantee concentric quarter-scale triangles strictly inside
+    # their supplier's quad, and the reference composite (tri-edge
+    # crossings OR quad-vertex-in-tri, NO tri-vertex-in-quad term)
+    # must exclude every one of them
+    from spatialjoin.queries import _quarter_tris_df, _quads_df, q_tris_intersect_quads
+
+    sup_ids = {r.id for r in _quads_df(spark, SF_DIR, "supplier", "s_suppkey")
+               .select("id").collect()}
+    tri_ids = {r.id for r in _quarter_tris_df(spark, SF_DIR).select("id").collect()}
+    swallowed = {(c, c % 97) for c in tri_ids if (c % 97) in sup_ids}
+    assert len(swallowed) >= 1, "no folded-key collision at this sf"
+    got = {(r.big_id, r.small_id)
+           for r in q_tris_intersect_quads(spark, SF_DIR).collect()}
+    assert not (swallowed & got), sorted(swallowed & got)[:5]
+
     # the mixed-prox row's index must really be multilevel (>= 2
     # populated size strata) or it would just re-test one resolution
     lines = _mixed_lines_df(spark, SF_DIR)
