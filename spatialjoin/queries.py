@@ -2255,6 +2255,143 @@ SELECT DISTINCT big_id, small_id FROM (
 """.strip()
 
 
+def _folded_rects_df(spark, sf_dir) -> DataFrame:
+    """Part rects on the FOLDED key domain (p_partkey % 97): center
+    from the folded hash, half-sizes RA/RB of the folded key — when the
+    folded key equals a supplier key the rect is bit-exactly concentric
+    with that supplier's quad and (RA,RB <= 0.2 < 0.5 <= QA,QB) all
+    four corners are strictly inside it."""
+    fk = "(p_partkey % 97)"
+    px, py = PX.format(k=fk), PY.format(k=fk)
+    ra, rb = RA.format(k=fk), RB.format(k=fk)
+    return spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "p_partkey as id", "4 as kind",
+        f"array(({px}) - ({ra}), ({py}) - ({rb}), ({px}) + ({ra}), ({py}) + ({rb})) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def q_quads_contain_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYGON contains RECT — the geo-0.14 vertex-plus-ring-crossing
+    rule (kernels._con_poly_seg_reject(RECT): all four corners strictly
+    inside AND no rect edge crossing the exterior or hole rings;
+    relates_impl.rs:382-385 treats rect edges as Lines): supplier quads
+    indexed, folded-key part rects probe — folded collisions are
+    concentric strictly-contained rects, so the row is populated at
+    every sf."""
+    quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    rects = _folded_rects_df(spark, sf_dir)
+    idx = SpatialIndex.build(spark, quads, validate=False)
+    return idx.spatial_join(rects, how="contains", validate=False, big_kinds={4})
+
+
+def _oracle_quads_contain_rects() -> str:
+    """DuckDB twin of q_quads_contain_rects: each of the four corners
+    under the strict convex cross-product interior test (the
+    _oracle_pip_quads form of kernels.point_in_poly_strict), minus any
+    pair where a rect edge crosses a quad edge
+    (_seg_seg_intersect_pred), mirroring the kernel's ring-crossing
+    rejection verbatim (hole term vacuous: quads are hole-less)."""
+    fk = "(p_partkey % 97)"
+    px, py = PX.format(k=fk), PY.format(k=fk)
+    ra, rb = RA.format(k=fk), RB.format(k=fk)
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    strict_in = (
+        "((cx) - (cx + a)) * (({py}) - cy) - ((cy + b) - cy) * (({px}) - (cx + a)) > 0"
+        " AND ((cx - a) - cx) * (({py}) - (cy + b)) - (cy - (cy + b)) * (({px}) - cx) > 0"
+        " AND (cx - (cx - a)) * (({py}) - cy) - ((cy - b) - cy) * (({px}) - (cx - a)) > 0"
+        " AND ((cx + a) - cx) * (({py}) - (cy - b)) - (cy - (cy - b)) * (({px}) - cx) > 0"
+    )
+    corners = " AND ".join(
+        "(" + strict_in.format(px=X, py=Y) + ")"
+        for X, Y in (("xmin", "ymin"), ("xmax", "ymin"),
+                     ("xmax", "ymax"), ("xmin", "ymax"))
+    )
+    return f"""
+WITH rc AS MATERIALIZED (SELECT p_partkey,
+              ({px}) - ({ra}) AS xmin, ({py}) - ({rb}) AS ymin,
+              ({px}) + ({ra}) AS xmax, ({py}) + ({rb}) AS ymax FROM part),
+qd AS MATERIALIZED (SELECT s_suppkey, {px_s} AS cx, {py_s} AS cy,
+                           {a} AS a, {b} AS b FROM supplier),
+vin AS (
+  SELECT rc.p_partkey, qd.s_suppkey
+  FROM rc, qd
+  WHERE {corners}
+),
+redge AS (
+  SELECT p_partkey, xmin AS pax, ymin AS pay, xmax AS pbx, ymin AS pby FROM rc
+  UNION ALL SELECT p_partkey, xmax, ymin, xmax, ymax FROM rc
+  UNION ALL SELECT p_partkey, xmax, ymax, xmin, ymax FROM rc
+  UNION ALL SELECT p_partkey, xmin, ymax, xmin, ymin FROM rc
+),
+qedge AS (
+  SELECT s_suppkey, (cx + a) AS sax, cy AS say, cx AS sbx, (cy + b) AS sby FROM qd
+  UNION ALL SELECT s_suppkey, cx, (cy + b), (cx - a), cy FROM qd
+  UNION ALL SELECT s_suppkey, (cx - a), cy, cx, (cy - b) FROM qd
+  UNION ALL SELECT s_suppkey, cx, (cy - b), (cx + a), cy FROM qd
+),
+xed AS (
+  SELECT DISTINCT redge.p_partkey, qedge.s_suppkey
+  FROM redge, qedge WHERE {_seg_seg_intersect_pred()}
+)
+SELECT vin.p_partkey AS big_id, vin.s_suppkey AS small_id
+FROM vin LEFT JOIN xed
+  ON xed.p_partkey = vin.p_partkey AND xed.s_suppkey = vin.s_suppkey
+WHERE xed.p_partkey IS NULL
+""".strip()
+
+
+def _inset_lines_df(spark, sf_dir) -> DataFrame:
+    """Customer LINE segments on the FOLDED key domain (c_custkey %
+    97), spanning quarter-scale across the folded rect's own extents —
+    a folded-key collision with a part key is a line whose endpoints
+    both sit strictly inside that part's rect."""
+    fk = "(c_custkey % 97)"
+    cx, cy = PX.format(k=fk), PY.format(k=fk)
+    ra, rb = RA.format(k=fk), RB.format(k=fk)
+    return spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey as id", "1 as kind",
+        f"array(({cx}) - (({ra}) * 25e-2), ({cy}) - (({rb}) * 25e-2), "
+        f"({cx}) + (({ra}) * 25e-2), ({cy}) + (({rb}) * 25e-2)) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def q_rects_contain_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECT contains LINE — closed-rect containment of both endpoints
+    (kernels._con_rect_any(LINE) via the per-vertex closed-rect test):
+    part rects indexed, folded-key inset customer lines probe."""
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    lines = _inset_lines_df(spark, sf_dir)
+    idx = SpatialIndex.build(spark, rects, validate=False)
+    return idx.spatial_join(lines, how="contains", validate=False, big_kinds={1})
+
+
+def _oracle_rects_contain_lines() -> str:
+    """DuckDB twin of q_rects_contain_lines: both endpoints inside the
+    closed rect (point_in_rect_closed verbatim: inclusive on all four
+    sides)."""
+    fk = "(c_custkey % 97)"
+    cx, cy = PX.format(k=fk), PY.format(k=fk)
+    ra, rb = RA.format(k=fk), RB.format(k=fk)
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    rpa, rpb = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    return f"""
+WITH ln AS (SELECT c_custkey,
+              ({cx}) - (({ra}) * 25e-2) AS ax, ({cy}) - (({rb}) * 25e-2) AS ay,
+              ({cx}) + (({ra}) * 25e-2) AS bx, ({cy}) + (({rb}) * 25e-2) AS by
+            FROM customer),
+rc AS (SELECT p_partkey,
+              ({px_p}) - ({rpa}) AS xmin, ({py_p}) - ({rpb}) AS ymin,
+              ({px_p}) + ({rpa}) AS xmax, ({py_p}) + ({rpb}) AS ymax FROM part)
+SELECT ln.c_custkey AS big_id, rc.p_partkey AS small_id
+FROM ln, rc
+WHERE ax >= xmin AND ax <= xmax AND ay >= ymin AND ay <= ymax
+  AND bx >= xmin AND bx <= xmax AND by >= ymin AND by <= ymax
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
     px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
@@ -2297,6 +2434,8 @@ FROM a JOIN b
         "points_on_paths": _oracle_points_on_paths(),
         "tris_intersect_quads": _oracle_tris_quads(),
         "tris_intersect_tris": _oracle_tris_tris(),
+        "quads_contain_rects": _oracle_quads_contain_rects(),
+        "rects_contain_lines": _oracle_rects_contain_lines(),
         "donut_quads_contain_points": _oracle_donut_quads(),
         "wkt_quads_contain_points": _oracle_wkt_quads(),
         "geom_measures": _oracle_geom_measures(),
@@ -3533,6 +3672,8 @@ QUERIES = {
     "points_on_paths": q_points_on_paths,
     "tris_intersect_quads": q_tris_intersect_quads,
     "tris_intersect_tris": q_tris_intersect_tris,
+    "quads_contain_rects": q_quads_contain_rects,
+    "rects_contain_lines": q_rects_contain_lines,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
     "rects_intersect_cogroup": q_rects_intersect_cogroup,
