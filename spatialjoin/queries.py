@@ -2392,6 +2392,174 @@ WHERE ax >= xmin AND ax <= xmax AND ay >= ymin AND ay <= ymax
 """.strip()
 
 
+def q_paths_intersect_donuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINESTRING x HOLED-POLYGON intersects — the all-rings composite
+    (kernels._int_path_poly: path segments crossing ANY ring, exterior
+    or hole, OR any path vertex strictly inside the polygon under the
+    full hole rule): supplier donut rhombi indexed, orders paths
+    probe. A path crossing only the HOLE ring (entirely inside the
+    annulus opening) still intersects; a path strictly inside the hole
+    does not."""
+    donuts = _donuts_df(spark, sf_dir, "supplier", "s_suppkey")
+    paths = _paths_df(spark, sf_dir, "orders", "o_orderkey")
+    idx = SpatialIndex.build(spark, donuts, validate=False)
+    return idx.spatial_join(paths, how="intersects", validate=False, big_kinds={2})
+
+
+def _oracle_paths_donuts() -> str:
+    """DuckDB twin of q_paths_intersect_donuts: 2 path segments x 8
+    ring segments (both rings) under _seg_seg_intersect_pred, UNION the
+    3 path vertices under the donut strict-interior test
+    (_oracle_donut_quads form of kernels.point_in_poly_strict)."""
+    ko = "o_orderkey"
+    ox0, oy0 = PX.format(k=ko), PY.format(k=ko)
+    odx1, ody1 = DX1.format(k=ko), DY1.format(k=ko)
+    odx2, ody2 = DX2.format(k=f"({ko} + 7)"), DY2.format(k=f"({ko} + 7)")
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    strict_in_donut = (
+        "((cx) - (cx + a)) * (py - cy) - ((cy + b) - cy) * (px - (cx + a)) > 0"
+        " AND ((cx - a) - cx) * (py - (cy + b)) - (cy - (cy + b)) * (px - cx) > 0"
+        " AND (cx - (cx - a)) * (py - cy) - ((cy - b) - cy) * (px - (cx - a)) > 0"
+        " AND ((cx + a) - cx) * (py - (cy - b)) - (cy - (cy - b)) * (px - cx) > 0"
+        " AND NOT ("
+        "   ((cx) - (cx + ah)) * (py - cy) - ((cy + bh) - cy) * (px - (cx + ah)) >= 0"
+        "   AND ((cx - ah) - cx) * (py - (cy + bh)) - (cy - (cy + bh)) * (px - cx) >= 0"
+        "   AND (cx - (cx - ah)) * (py - cy) - ((cy - bh) - cy) * (px - (cx - ah)) >= 0"
+        "   AND ((cx + ah) - cx) * (py - (cy - bh)) - (cy - (cy - bh)) * (px - cx) >= 0)"
+    )
+    return f"""
+WITH pv AS MATERIALIZED (SELECT o_orderkey, {ox0} AS v0x, {oy0} AS v0y,
+               ({ox0}) + ({odx1}) AS v1x, ({oy0}) + ({ody1}) AS v1y,
+               (({ox0}) + ({odx1})) + ({odx2}) AS v2x,
+               (({oy0}) + ({ody1})) + ({ody2}) AS v2y FROM orders),
+pseg AS MATERIALIZED (
+  SELECT o_orderkey, v0x AS pax, v0y AS pay, v1x AS pbx, v1y AS pby FROM pv
+  UNION ALL SELECT o_orderkey, v1x, v1y, v2x, v2y FROM pv
+),
+pvert AS MATERIALIZED (
+  SELECT o_orderkey, v0x AS px, v0y AS py FROM pv
+  UNION ALL SELECT o_orderkey, v1x, v1y FROM pv
+  UNION ALL SELECT o_orderkey, v2x, v2y FROM pv
+),
+dn AS MATERIALIZED (SELECT s_suppkey, {px_s} AS cx, {py_s} AS cy, {a} AS a, {b} AS b,
+                           ({a}) * 5e-1 AS ah, ({b}) * 5e-1 AS bh FROM supplier),
+rseg AS MATERIALIZED (
+  SELECT s_suppkey, (cx + a) AS sax, cy AS say, cx AS sbx, (cy + b) AS sby FROM dn
+  UNION ALL SELECT s_suppkey, cx, (cy + b), (cx - a), cy FROM dn
+  UNION ALL SELECT s_suppkey, (cx - a), cy, cx, (cy - b) FROM dn
+  UNION ALL SELECT s_suppkey, cx, (cy - b), (cx + a), cy FROM dn
+  UNION ALL SELECT s_suppkey, (cx + ah), cy, cx, (cy + bh) FROM dn
+  UNION ALL SELECT s_suppkey, cx, (cy + bh), (cx - ah), cy FROM dn
+  UNION ALL SELECT s_suppkey, (cx - ah), cy, cx, (cy - bh) FROM dn
+  UNION ALL SELECT s_suppkey, cx, (cy - bh), (cx + ah), cy FROM dn
+)
+SELECT DISTINCT big_id, small_id FROM (
+  SELECT pseg.o_orderkey AS big_id, rseg.s_suppkey AS small_id
+  FROM pseg, rseg WHERE {_seg_seg_intersect_pred()}
+  UNION
+  SELECT pvert.o_orderkey, dn.s_suppkey
+  FROM pvert, dn WHERE {strict_in_donut}
+)
+""".strip()
+
+
+def _annulus_rects_df(spark, sf_dir) -> DataFrame:
+    """Tiny part rects placed in the ANNULUS of the folded-key donut:
+    center offset (a * 0.75, 0) from the folded hash center, half-sizes
+    a/20 x b/20 — a folded-key collision with a supplier is a rect
+    strictly between that supplier's donut rings (x-span [0.7a, 0.8a],
+    rhombus norm in [0.65, 0.85], clear of both)."""
+    fk = "(p_partkey % 97)"
+    cx, cy = PX.format(k=fk), PY.format(k=fk)
+    a, b = QA.format(k=fk), QB.format(k=fk)
+    rx = f"(({cx}) + (({a}) * 75e-2))"
+    ra, rb = f"(({a}) * 5e-2)", f"(({b}) * 5e-2)"
+    return spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "p_partkey as id", "4 as kind",
+        f"array({rx} - {ra}, ({cy}) - {rb}, {rx} + {ra}, ({cy}) + {rb}) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def q_donuts_contain_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLED POLYGON contains RECT — the full hole-aware containment
+    (kernels._con_poly_seg_reject(RECT) over point_in_poly_strict: all
+    four corners strictly inside the annulus — in the exterior ring,
+    not on its boundary, not inside-or-on the hole — AND no rect edge
+    crossing EITHER ring): supplier donuts indexed, annulus-placed
+    folded-key part rects probe."""
+    donuts = _donuts_df(spark, sf_dir, "supplier", "s_suppkey")
+    rects = _annulus_rects_df(spark, sf_dir)
+    idx = SpatialIndex.build(spark, donuts, validate=False)
+    return idx.spatial_join(rects, how="contains", validate=False, big_kinds={4})
+
+
+def _oracle_donuts_contain_rects() -> str:
+    """DuckDB twin of q_donuts_contain_rects: four corners under the
+    donut strict-interior test, minus any pair where a rect edge
+    crosses either ring (8 ring segments, _seg_seg_intersect_pred)."""
+    fk = "(p_partkey % 97)"
+    cx_f, cy_f = PX.format(k=fk), PY.format(k=fk)
+    a_f, b_f = QA.format(k=fk), QB.format(k=fk)
+    rx = f"(({cx_f}) + (({a_f}) * 75e-2))"
+    ra, rb = f"(({a_f}) * 5e-2)", f"(({b_f}) * 5e-2)"
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    strict_in = (
+        "((cx) - (cx + a)) * (({py}) - cy) - ((cy + b) - cy) * (({px}) - (cx + a)) > 0"
+        " AND ((cx - a) - cx) * (({py}) - (cy + b)) - (cy - (cy + b)) * (({px}) - cx) > 0"
+        " AND (cx - (cx - a)) * (({py}) - cy) - ((cy - b) - cy) * (({px}) - (cx - a)) > 0"
+        " AND ((cx + a) - cx) * (({py}) - (cy - b)) - (cy - (cy - b)) * (({px}) - cx) > 0"
+        " AND NOT ("
+        "   ((cx) - (cx + ah)) * (({py}) - cy) - ((cy + bh) - cy) * (({px}) - (cx + ah)) >= 0"
+        "   AND ((cx - ah) - cx) * (({py}) - (cy + bh)) - (cy - (cy + bh)) * (({px}) - cx) >= 0"
+        "   AND (cx - (cx - ah)) * (({py}) - cy) - ((cy - bh) - cy) * (({px}) - (cx - ah)) >= 0"
+        "   AND ((cx + ah) - cx) * (({py}) - (cy - bh)) - (cy - (cy - bh)) * (({px}) - cx) >= 0)"
+    )
+    corners = " AND ".join(
+        "(" + strict_in.format(px=X, py=Y) + ")"
+        for X, Y in (("xmin", "ymin"), ("xmax", "ymin"),
+                     ("xmax", "ymax"), ("xmin", "ymax"))
+    )
+    return f"""
+WITH rc AS MATERIALIZED (SELECT p_partkey,
+              {rx} - {ra} AS xmin, ({cy_f}) - {rb} AS ymin,
+              {rx} + {ra} AS xmax, ({cy_f}) + {rb} AS ymax FROM part),
+dn AS MATERIALIZED (SELECT s_suppkey, {px_s} AS cx, {py_s} AS cy, {a} AS a, {b} AS b,
+                           ({a}) * 5e-1 AS ah, ({b}) * 5e-1 AS bh FROM supplier),
+vin AS (
+  SELECT rc.p_partkey, dn.s_suppkey
+  FROM rc, dn
+  WHERE {corners}
+),
+redge AS (
+  SELECT p_partkey, xmin AS pax, ymin AS pay, xmax AS pbx, ymin AS pby FROM rc
+  UNION ALL SELECT p_partkey, xmax, ymin, xmax, ymax FROM rc
+  UNION ALL SELECT p_partkey, xmax, ymax, xmin, ymax FROM rc
+  UNION ALL SELECT p_partkey, xmin, ymax, xmin, ymin FROM rc
+),
+rseg AS MATERIALIZED (
+  SELECT s_suppkey, (cx + a) AS sax, cy AS say, cx AS sbx, (cy + b) AS sby FROM dn
+  UNION ALL SELECT s_suppkey, cx, (cy + b), (cx - a), cy FROM dn
+  UNION ALL SELECT s_suppkey, (cx - a), cy, cx, (cy - b) FROM dn
+  UNION ALL SELECT s_suppkey, cx, (cy - b), (cx + a), cy FROM dn
+  UNION ALL SELECT s_suppkey, (cx + ah), cy, cx, (cy + bh) FROM dn
+  UNION ALL SELECT s_suppkey, cx, (cy + bh), (cx - ah), cy FROM dn
+  UNION ALL SELECT s_suppkey, (cx - ah), cy, cx, (cy - bh) FROM dn
+  UNION ALL SELECT s_suppkey, cx, (cy - bh), (cx + ah), cy FROM dn
+),
+xed AS (
+  SELECT DISTINCT redge.p_partkey, rseg.s_suppkey
+  FROM redge, rseg WHERE {_seg_seg_intersect_pred()}
+)
+SELECT vin.p_partkey AS big_id, vin.s_suppkey AS small_id
+FROM vin LEFT JOIN xed
+  ON xed.p_partkey = vin.p_partkey AND xed.s_suppkey = vin.s_suppkey
+WHERE xed.p_partkey IS NULL
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
     px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
@@ -2436,6 +2604,8 @@ FROM a JOIN b
         "tris_intersect_tris": _oracle_tris_tris(),
         "quads_contain_rects": _oracle_quads_contain_rects(),
         "rects_contain_lines": _oracle_rects_contain_lines(),
+        "paths_intersect_donuts": _oracle_paths_donuts(),
+        "donuts_contain_rects": _oracle_donuts_contain_rects(),
         "donut_quads_contain_points": _oracle_donut_quads(),
         "wkt_quads_contain_points": _oracle_wkt_quads(),
         "geom_measures": _oracle_geom_measures(),
@@ -3674,6 +3844,8 @@ QUERIES = {
     "tris_intersect_tris": q_tris_intersect_tris,
     "quads_contain_rects": q_quads_contain_rects,
     "rects_contain_lines": q_rects_contain_lines,
+    "paths_intersect_donuts": q_paths_intersect_donuts,
+    "donuts_contain_rects": q_donuts_contain_rects,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
     "rects_intersect_cogroup": q_rects_intersect_cogroup,
