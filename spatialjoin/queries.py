@@ -2560,6 +2560,73 @@ WHERE xed.p_partkey IS NULL
 """.strip()
 
 
+def q_knn_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN over NON-POINT targets: the 3 nearest part RECTS for every
+    customer point, through the same expanding-ring search as
+    knn_points but with the (POINT, RECT) distance kernel in the refine
+    (0 inside the closed rect — overlapping rects produce genuine
+    0-distance ties resolved by the deterministic (distance, small_id)
+    tie-break in both engines)."""
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    cust = _points_df(spark, sf_dir, "customer", "c_custkey")
+    out = knn_join(spark, rects, cust, k=3, validate=False, big_kinds={0})
+    return out.select("big_id", "small_id", "distance", "rank")
+
+
+def _oracle_knn_rects() -> str:
+    """DuckDB twin of q_knn_rects: the rects_prox point-rect distance
+    (closed-rect inside test, else min clamped-projection distance over
+    the 4 corner-ring edges), ranked per customer by (distance,
+    p_partkey) — the engine's documented tie-break."""
+    px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
+    px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra, rb = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    return f"""
+WITH pts AS (SELECT c_custkey, {px_c} AS px, {py_c} AS py FROM customer),
+rcs AS (SELECT p_partkey,
+               ({px_p}) - ({ra}) AS xmin, ({py_p}) - ({rb}) AS ymin,
+               ({px_p}) + ({ra}) AS xmax, ({py_p}) + ({rb}) AS ymax FROM part),
+edges AS (
+  SELECT p_partkey, xmin AS ax, ymin AS ay, xmax AS bx, ymin AS by FROM rcs
+  UNION ALL
+  SELECT p_partkey, xmax, ymin, xmax, ymax FROM rcs
+  UNION ALL
+  SELECT p_partkey, xmax, ymax, xmin, ymax FROM rcs
+  UNION ALL
+  SELECT p_partkey, xmin, ymax, xmin, ymin FROM rcs
+),
+seg AS (SELECT p_partkey, ax, ay, bx - ax AS dx, by - ay AS dy FROM edges),
+tt AS (
+  SELECT c_custkey, p_partkey, px, py, ax, ay, dx, dy,
+         least(greatest(((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy), 0e0), 1e0) AS t
+  FROM pts, seg
+),
+d2 AS (
+  SELECT c_custkey, p_partkey,
+         min((px - (ax + t * dx)) * (px - (ax + t * dx))
+           + (py - (ay + t * dy)) * (py - (ay + t * dy))) AS mind2
+  FROM tt GROUP BY 1, 2
+),
+ins AS (
+  SELECT pts.c_custkey, rcs.p_partkey
+  FROM pts, rcs
+  WHERE px >= xmin AND px <= xmax AND py >= ymin AND py <= ymax
+),
+dist AS (
+  SELECT d2.c_custkey, d2.p_partkey,
+         CASE WHEN ins.c_custkey IS NOT NULL THEN 0e0 ELSE sqrt(mind2) END AS distance
+  FROM d2 LEFT JOIN ins
+    ON ins.c_custkey = d2.c_custkey AND ins.p_partkey = d2.p_partkey
+)
+SELECT c_custkey AS big_id, p_partkey AS small_id, distance,
+       CAST(row_number() OVER (
+           PARTITION BY c_custkey ORDER BY distance ASC, p_partkey ASC
+       ) AS INTEGER) AS rank
+FROM dist
+QUALIFY rank <= 3
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
     px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
@@ -2606,6 +2673,7 @@ FROM a JOIN b
         "rects_contain_lines": _oracle_rects_contain_lines(),
         "paths_intersect_donuts": _oracle_paths_donuts(),
         "donuts_contain_rects": _oracle_donuts_contain_rects(),
+        "knn_rects": _oracle_knn_rects(),
         "donut_quads_contain_points": _oracle_donut_quads(),
         "wkt_quads_contain_points": _oracle_wkt_quads(),
         "geom_measures": _oracle_geom_measures(),
@@ -3846,6 +3914,7 @@ QUERIES = {
     "rects_contain_lines": q_rects_contain_lines,
     "paths_intersect_donuts": q_paths_intersect_donuts,
     "donuts_contain_rects": q_donuts_contain_rects,
+    "knn_rects": q_knn_rects,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
     "rects_intersect_cogroup": q_rects_intersect_cogroup,
