@@ -2627,6 +2627,117 @@ QUALIFY rank <= 3
 """.strip()
 
 
+# integer-lattice path derivations for the LINESTRING.Contains(LINE)
+# row: vertices and HALF-deltas are exact integers, so the on-segment
+# cross products are exact zeros in both engines. Every 4th path's
+# second segment CONTINUES the first collinearly (d2 = d1).
+LPD1X = "(2 * (({k} % 7) + 1))"
+LPD1Y = "(2 * (({k} % 5) + 1))"
+LPD2X = "(CASE WHEN {k} % 4 = 0 THEN 2 * (({k} % 7) + 1) ELSE 2 * (({k} % 11) + 1) END)"
+LPD2Y = "(CASE WHEN {k} % 4 = 0 THEN 2 * (({k} % 5) + 1) ELSE -2 * (({k} % 3) + 1) END)"
+
+
+def _lattice_paths_df(spark, sf_dir) -> DataFrame:
+    k = "o_orderkey"
+    v0x, v0y = WCX.format(k=k), WCY.format(k=k)
+    d1x, d1y = LPD1X.format(k=k), LPD1Y.format(k=k)
+    d2x, d2y = LPD2X.format(k=k), LPD2Y.format(k=k)
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        f"{k} as id", "2 as kind",
+        f"array(CAST({v0x} AS DOUBLE), CAST({v0y} AS DOUBLE), "
+        f"CAST(({v0x}) + ({d1x}) AS DOUBLE), CAST(({v0y}) + ({d1y}) AS DOUBLE), "
+        f"CAST((({v0x}) + ({d1x})) + ({d2x}) AS DOUBLE), "
+        f"CAST((({v0y}) + ({d1y})) + ({d2y}) AS DOUBLE)) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def _lattice_sub_lines_df(spark, sf_dir) -> DataFrame:
+    """LINE probes over every 32nd order's (collinear, since 32 % 4 = 0)
+    path: even ids span HALF of segment 1 (midpoint -> vertex 1, fully
+    on one segment => contained); odd ids SPAN the shared vertex
+    (mid-seg1 -> mid-seg2, collinear with the whole path but on no
+    single segment => NOT contained under the reference's per-segment
+    rule, though geo 0.14's multi-segment rule would accept it)."""
+    k = "o_orderkey"
+    v0x, v0y = WCX.format(k=k), WCY.format(k=k)
+    h1x, h1y = f"((({k}) % 7) + 1)", f"((({k}) % 5) + 1)"
+    v1x, v1y = f"(({v0x}) + (2 * {h1x}))", f"(({v0y}) + (2 * {h1y}))"
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").where("o_orderkey % 32 = 0")
+    half = base.selectExpr(
+        f"{k} * 2 as id", "1 as kind",
+        f"array(CAST(({v0x}) + {h1x} AS DOUBLE), CAST(({v0y}) + {h1y} AS DOUBLE), "
+        f"CAST({v1x} AS DOUBLE), CAST({v1y} AS DOUBLE)) as coords",
+        "cast(null as array<int>) as rings",
+    )
+    spanning = base.selectExpr(
+        f"{k} * 2 + 1 as id", "1 as kind",
+        f"array(CAST(({v0x}) + {h1x} AS DOUBLE), CAST(({v0y}) + {h1y} AS DOUBLE), "
+        f"CAST(({v1x}) + {h1x} AS DOUBLE), CAST(({v1y}) + {h1y} AS DOUBLE)) as coords",
+        "cast(null as array<int>) as rings",
+    )
+    return half.unionAll(spanning)
+
+
+def q_paths_contain_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINESTRING contains LINE — the reference's PER-SEGMENT rule
+    (kernels._con_ls_line, relates_impl.rs:133-138: SOME single segment
+    of the linestring contains both line endpoints; the documented
+    deviation from geo 0.14, which also accepts a line spanning
+    several consecutive collinear segments): integer-lattice order
+    paths indexed, half-segment and vertex-SPANNING sub-lines probe —
+    the spanning probes lie on two collinear segments of their own path
+    and are asserted NOT contained (tests/test_entry_contract.py)."""
+    paths = _lattice_paths_df(spark, sf_dir)
+    lines = _lattice_sub_lines_df(spark, sf_dir)
+    idx = SpatialIndex.build(spark, paths, validate=False)
+    return idx.spatial_join(lines, how="contains", validate=False, big_kinds={1})
+
+
+def _oracle_paths_contain_lines() -> str:
+    """DuckDB twin of q_paths_contain_lines: EXISTS a path segment with
+    BOTH line endpoints under point_on_seg (exact-zero cross product +
+    inclusive bbox — all operands exact lattice integers in doubles)."""
+    k = "o_orderkey"
+    v0x, v0y = WCX.format(k=k), WCY.format(k=k)
+    d1x, d1y = LPD1X.format(k=k), LPD1Y.format(k=k)
+    d2x, d2y = LPD2X.format(k=k), LPD2Y.format(k=k)
+    h1x, h1y = f"((({k}) % 7) + 1)", f"((({k}) % 5) + 1)"
+    on_seg = ("((sbx - sax) * ({py} - say) - (sby - say) * ({px} - sax)) = 0"
+              " AND {px} >= least(sax, sbx) AND {px} <= greatest(sax, sbx)"
+              " AND {py} >= least(say, sby) AND {py} <= greatest(say, sby)")
+    both_on = (on_seg.format(px="q1x", py="q1y") + " AND "
+               + on_seg.format(px="q2x", py="q2y"))
+    return f"""
+WITH pv AS MATERIALIZED (SELECT o_orderkey,
+               CAST({v0x} AS DOUBLE) AS v0x, CAST({v0y} AS DOUBLE) AS v0y,
+               CAST(({v0x}) + ({d1x}) AS DOUBLE) AS v1x,
+               CAST(({v0y}) + ({d1y}) AS DOUBLE) AS v1y,
+               CAST((({v0x}) + ({d1x})) + ({d2x}) AS DOUBLE) AS v2x,
+               CAST((({v0y}) + ({d1y})) + ({d2y}) AS DOUBLE) AS v2y FROM orders),
+segs AS MATERIALIZED (
+  SELECT o_orderkey, v0x AS sax, v0y AS say, v1x AS sbx, v1y AS sby FROM pv
+  UNION ALL SELECT o_orderkey, v1x, v1y, v2x, v2y FROM pv
+),
+base AS (SELECT o_orderkey,
+               CAST(({v0x}) + {h1x} AS DOUBLE) AS m1x,
+               CAST(({v0y}) + {h1y} AS DOUBLE) AS m1y,
+               CAST(({v0x}) + (2 * {h1x}) AS DOUBLE) AS e1x,
+               CAST(({v0y}) + (2 * {h1y}) AS DOUBLE) AS e1y,
+               CAST(({v0x}) + (3 * {h1x}) AS DOUBLE) AS m2x,
+               CAST(({v0y}) + (3 * {h1y}) AS DOUBLE) AS m2y
+         FROM orders WHERE o_orderkey % 32 = 0),
+lns AS MATERIALIZED (
+  SELECT o_orderkey * 2 AS lid, m1x AS q1x, m1y AS q1y, e1x AS q2x, e1y AS q2y FROM base
+  UNION ALL
+  SELECT o_orderkey * 2 + 1, m1x, m1y, m2x, m2y FROM base
+)
+SELECT DISTINCT lns.lid AS big_id, segs.o_orderkey AS small_id
+FROM lns, segs
+WHERE {both_on}
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
     px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
@@ -2674,6 +2785,7 @@ FROM a JOIN b
         "paths_intersect_donuts": _oracle_paths_donuts(),
         "donuts_contain_rects": _oracle_donuts_contain_rects(),
         "knn_rects": _oracle_knn_rects(),
+        "paths_contain_lines": _oracle_paths_contain_lines(),
         "donut_quads_contain_points": _oracle_donut_quads(),
         "wkt_quads_contain_points": _oracle_wkt_quads(),
         "geom_measures": _oracle_geom_measures(),
@@ -3915,6 +4027,7 @@ QUERIES = {
     "paths_intersect_donuts": q_paths_intersect_donuts,
     "donuts_contain_rects": q_donuts_contain_rects,
     "knn_rects": q_knn_rects,
+    "paths_contain_lines": q_paths_contain_lines,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
     "rects_intersect_cogroup": q_rects_intersect_cogroup,

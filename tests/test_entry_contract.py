@@ -102,6 +102,24 @@ def test_strategy_queries_engage_their_paths(spark):
            for r in q_tris_intersect_quads(spark, SF_DIR).collect()}
     assert not (swallowed & got), sorted(swallowed & got)[:5]
 
+    # the LINESTRING.Contains(LINE) row must observe the per-segment
+    # deviation: every even probe (half of segment 1) IS contained by
+    # its own path, every odd probe (spanning the shared vertex of two
+    # COLLINEAR segments) is NOT — geo 0.14's multi-segment rule would
+    # have accepted it
+    from spatialjoin.queries import q_paths_contain_lines
+
+    got_cl = {(r.big_id, r.small_id)
+              for r in q_paths_contain_lines(spark, SF_DIR).collect()}
+    import duckdb as _dd
+    keys = [k for (k,) in _dd.connect().execute(
+        f"SELECT o_orderkey FROM '{SF_DIR}/orders.parquet' WHERE o_orderkey % 32 = 0"
+    ).fetchall()]
+    assert keys, "no lattice probe keys at this sf"
+    for k in keys:
+        assert (2 * k, k) in got_cl, f"half-segment probe {2*k} not contained"
+        assert (2 * k + 1, k) not in got_cl, f"spanning probe {2*k+1} wrongly contained"
+
     # the mixed-prox row's index must really be multilevel (>= 2
     # populated size strata) or it would just re-test one resolution
     lines = _mixed_lines_df(spark, SF_DIR)
