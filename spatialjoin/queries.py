@@ -2738,6 +2738,204 @@ WHERE {both_on}
 """.strip()
 
 
+def _lattice_lines_df(spark, sf_dir) -> DataFrame:
+    """First segment of the lattice path as a standalone LINE."""
+    k = "o_orderkey"
+    v0x, v0y = WCX.format(k=k), WCY.format(k=k)
+    d1x, d1y = LPD1X.format(k=k), LPD1Y.format(k=k)
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        f"{k} as id", "1 as kind",
+        f"array(CAST({v0x} AS DOUBLE), CAST({v0y} AS DOUBLE), "
+        f"CAST(({v0x}) + ({d1x}) AS DOUBLE), CAST(({v0y}) + ({d1y}) AS DOUBLE)) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def q_lines_contain_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE contains LINE — collinear cover (kernels._con_line_line:
+    both probe endpoints on the single container segment): lattice
+    LINE segments indexed, the same half/spanning sub-line probes as
+    paths_contain_lines — the even probes lie within segment 1 (cover),
+    the odd probes extend past its far endpoint (collinear but OFF the
+    closed segment, excluded by the inclusive-bbox test)."""
+    lines = _lattice_lines_df(spark, sf_dir)
+    probes = _lattice_sub_lines_df(spark, sf_dir)
+    idx = SpatialIndex.build(spark, lines, validate=False)
+    return idx.spatial_join(probes, how="contains", validate=False, big_kinds={1})
+
+
+def _oracle_lines_contain_lines() -> str:
+    """DuckDB twin of q_lines_contain_lines: point_on_seg (exact-zero
+    cross + inclusive bbox) for both probe endpoints against segment 1
+    only."""
+    k = "o_orderkey"
+    v0x, v0y = WCX.format(k=k), WCY.format(k=k)
+    d1x, d1y = LPD1X.format(k=k), LPD1Y.format(k=k)
+    h1x, h1y = f"((({k}) % 7) + 1)", f"((({k}) % 5) + 1)"
+    on_seg = ("((sbx - sax) * ({py} - say) - (sby - say) * ({px} - sax)) = 0"
+              " AND {px} >= least(sax, sbx) AND {px} <= greatest(sax, sbx)"
+              " AND {py} >= least(say, sby) AND {py} <= greatest(say, sby)")
+    both_on = (on_seg.format(px="q1x", py="q1y") + " AND "
+               + on_seg.format(px="q2x", py="q2y"))
+    return f"""
+WITH segs AS MATERIALIZED (SELECT o_orderkey,
+               CAST({v0x} AS DOUBLE) AS sax, CAST({v0y} AS DOUBLE) AS say,
+               CAST(({v0x}) + ({d1x}) AS DOUBLE) AS sbx,
+               CAST(({v0y}) + ({d1y}) AS DOUBLE) AS sby FROM orders),
+base AS (SELECT o_orderkey,
+               CAST(({v0x}) + {h1x} AS DOUBLE) AS m1x,
+               CAST(({v0y}) + {h1y} AS DOUBLE) AS m1y,
+               CAST(({v0x}) + (2 * {h1x}) AS DOUBLE) AS e1x,
+               CAST(({v0y}) + (2 * {h1y}) AS DOUBLE) AS e1y,
+               CAST(({v0x}) + (3 * {h1x}) AS DOUBLE) AS m2x,
+               CAST(({v0y}) + (3 * {h1y}) AS DOUBLE) AS m2y
+         FROM orders WHERE o_orderkey % 32 = 0),
+lns AS MATERIALIZED (
+  SELECT o_orderkey * 2 AS lid, m1x AS q1x, m1y AS q1y, e1x AS q2x, e1y AS q2y FROM base
+  UNION ALL
+  SELECT o_orderkey * 2 + 1, m1x, m1y, m2x, m2y FROM base
+)
+SELECT DISTINCT lns.lid AS big_id, segs.o_orderkey AS small_id
+FROM lns, segs
+WHERE {both_on}
+""".strip()
+
+
+def _lattice_sub_paths_df(spark, sf_dir) -> DataFrame:
+    """2-segment sub-paths of the %32 (collinear) lattice paths: from
+    the midpoint of segment 1 through the shared vertex to the midpoint
+    of segment 2 — each sub-segment lies on a DIFFERENT container
+    segment, which the reference's per-B-segment rule accepts."""
+    k = "o_orderkey"
+    v0x, v0y = WCX.format(k=k), WCY.format(k=k)
+    h1x, h1y = f"((({k}) % 7) + 1)", f"((({k}) % 5) + 1)"
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        "o_orderkey % 32 = 0"
+    ).selectExpr(
+        f"{k} as id", "2 as kind",
+        f"array(CAST(({v0x}) + {h1x} AS DOUBLE), CAST(({v0y}) + {h1y} AS DOUBLE), "
+        f"CAST(({v0x}) + (2 * {h1x}) AS DOUBLE), CAST(({v0y}) + (2 * {h1y}) AS DOUBLE), "
+        f"CAST(({v0x}) + (3 * {h1x}) AS DOUBLE), CAST(({v0y}) + (3 * {h1y}) AS DOUBLE)) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def q_paths_contain_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINESTRING contains LINESTRING — every probe segment contained
+    in SOME container segment (kernels._con_ls_ls,
+    relates_impl.rs:133-138; different container segments per probe
+    segment are allowed): lattice order paths indexed, mid-to-mid
+    sub-paths probe (first half on container segment 1, second half on
+    container segment 2)."""
+    paths = _lattice_paths_df(spark, sf_dir)
+    probes = _lattice_sub_paths_df(spark, sf_dir)
+    idx = SpatialIndex.build(spark, paths, validate=False)
+    return idx.spatial_join(probes, how="contains", validate=False, big_kinds={2})
+
+
+def _oracle_paths_contain_paths() -> str:
+    """DuckDB twin of q_paths_contain_paths: per (probe segment,
+    container) the point_on_seg cover over both container segments,
+    then HAVING both probe segments covered."""
+    k = "o_orderkey"
+    v0x, v0y = WCX.format(k=k), WCY.format(k=k)
+    d1x, d1y = LPD1X.format(k=k), LPD1Y.format(k=k)
+    d2x, d2y = LPD2X.format(k=k), LPD2Y.format(k=k)
+    h1x, h1y = f"((({k}) % 7) + 1)", f"((({k}) % 5) + 1)"
+    on_seg = ("((sbx - sax) * ({py} - say) - (sby - say) * ({px} - sax)) = 0"
+              " AND {px} >= least(sax, sbx) AND {px} <= greatest(sax, sbx)"
+              " AND {py} >= least(say, sby) AND {py} <= greatest(say, sby)")
+    both_on = (on_seg.format(px="q1x", py="q1y") + " AND "
+               + on_seg.format(px="q2x", py="q2y"))
+    return f"""
+WITH pv AS MATERIALIZED (SELECT o_orderkey,
+               CAST({v0x} AS DOUBLE) AS v0x, CAST({v0y} AS DOUBLE) AS v0y,
+               CAST(({v0x}) + ({d1x}) AS DOUBLE) AS v1x,
+               CAST(({v0y}) + ({d1y}) AS DOUBLE) AS v1y,
+               CAST((({v0x}) + ({d1x})) + ({d2x}) AS DOUBLE) AS v2x,
+               CAST((({v0y}) + ({d1y})) + ({d2y}) AS DOUBLE) AS v2y FROM orders),
+segs AS MATERIALIZED (
+  SELECT o_orderkey, v0x AS sax, v0y AS say, v1x AS sbx, v1y AS sby FROM pv
+  UNION ALL SELECT o_orderkey, v1x, v1y, v2x, v2y FROM pv
+),
+base AS (SELECT o_orderkey,
+               CAST(({v0x}) + {h1x} AS DOUBLE) AS m1x,
+               CAST(({v0y}) + {h1y} AS DOUBLE) AS m1y,
+               CAST(({v0x}) + (2 * {h1x}) AS DOUBLE) AS e1x,
+               CAST(({v0y}) + (2 * {h1y}) AS DOUBLE) AS e1y,
+               CAST(({v0x}) + (3 * {h1x}) AS DOUBLE) AS m2x,
+               CAST(({v0y}) + (3 * {h1y}) AS DOUBLE) AS m2y
+         FROM orders WHERE o_orderkey % 32 = 0),
+bsegs AS MATERIALIZED (
+  SELECT o_orderkey AS lid, 1 AS segno, m1x AS q1x, m1y AS q1y, e1x AS q2x, e1y AS q2y FROM base
+  UNION ALL
+  SELECT o_orderkey, 2, e1x, e1y, m2x, m2y FROM base
+),
+cov AS (
+  SELECT DISTINCT bsegs.lid, segs.o_orderkey AS aid, bsegs.segno
+  FROM bsegs, segs
+  WHERE {both_on}
+)
+SELECT lid AS big_id, aid AS small_id
+FROM cov GROUP BY 1, 2 HAVING count(*) = 2
+""".strip()
+
+
+def _tri_inset_rects_df(spark, sf_dir) -> DataFrame:
+    """Tiny part rects concentric with the folded-key triangle's
+    centroid region (half-sizes a/20 x b/20 around the hash center —
+    well inside the triangle's inradius at every key)."""
+    fk = "(p_partkey % 97)"
+    cx, cy = PX.format(k=fk), PY.format(k=fk)
+    a, b = QA.format(k=fk), QB.format(k=fk)
+    ra, rb = f"(({a}) * 5e-2)", f"(({b}) * 5e-2)"
+    return spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "p_partkey as id", "4 as kind",
+        f"array(({cx}) - {ra}, ({cy}) - {rb}, ({cx}) + {ra}, ({cy}) + {rb}) as coords",
+        "cast(null as array<int>) as rings",
+    )
+
+
+def q_tris_contain_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE contains RECT — all four corners under the
+    boundary-inclusive same-side test (kernels._con_tri_any(RECT)):
+    supplier triangles indexed, folded-key center-inset part rects
+    probe (folded collisions are concentric guaranteed-contained
+    rects)."""
+    tris = _tris_df(spark, sf_dir, "supplier", "s_suppkey")
+    rects = _tri_inset_rects_df(spark, sf_dir)
+    idx = SpatialIndex.build(spark, tris, validate=False)
+    return idx.spatial_join(rects, how="contains", validate=False, big_kinds={4})
+
+
+def _oracle_tris_contain_rects() -> str:
+    """DuckDB twin of q_tris_contain_rects: the four rect corners under
+    the point-in-triangle same-side predicate."""
+    fk = "(p_partkey % 97)"
+    cx, cy = PX.format(k=fk), PY.format(k=fk)
+    a, b = QA.format(k=fk), QB.format(k=fk)
+    ra, rb = f"(({a}) * 5e-2)", f"(({b}) * 5e-2)"
+    sx, sy = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    sa, sb = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    corners = " AND ".join(
+        "(" + _pt_in_tri_pred(X, Y) + ")"
+        for X, Y in (("xmin", "ymin"), ("xmax", "ymin"),
+                     ("xmax", "ymax"), ("xmin", "ymax"))
+    )
+    return f"""
+WITH rc AS (SELECT p_partkey,
+              ({cx}) - {ra} AS xmin, ({cy}) - {rb} AS ymin,
+              ({cx}) + {ra} AS xmax, ({cy}) + {rb} AS ymax FROM part),
+tri AS (SELECT s_suppkey,
+            ({sx}) - ({sa}) AS v0x, ({sy}) - ({sb}) AS v0y,
+            ({sx}) + ({sa}) AS v1x, ({sy}) - ({sb}) AS v1y,
+            ({sx}) AS v2x, ({sy}) + ({sb}) AS v2y FROM supplier)
+SELECT rc.p_partkey AS big_id, tri.s_suppkey AS small_id
+FROM rc, tri
+WHERE {corners}
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
     px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
@@ -2786,6 +2984,9 @@ FROM a JOIN b
         "donuts_contain_rects": _oracle_donuts_contain_rects(),
         "knn_rects": _oracle_knn_rects(),
         "paths_contain_lines": _oracle_paths_contain_lines(),
+        "lines_contain_lines": _oracle_lines_contain_lines(),
+        "paths_contain_paths": _oracle_paths_contain_paths(),
+        "tris_contain_rects": _oracle_tris_contain_rects(),
         "donut_quads_contain_points": _oracle_donut_quads(),
         "wkt_quads_contain_points": _oracle_wkt_quads(),
         "geom_measures": _oracle_geom_measures(),
@@ -4028,6 +4229,9 @@ QUERIES = {
     "donuts_contain_rects": q_donuts_contain_rects,
     "knn_rects": q_knn_rects,
     "paths_contain_lines": q_paths_contain_lines,
+    "lines_contain_lines": q_lines_contain_lines,
+    "paths_contain_paths": q_paths_contain_paths,
+    "tris_contain_rects": q_tris_contain_rects,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
     "rects_intersect_cogroup": q_rects_intersect_cogroup,
