@@ -2936,6 +2936,115 @@ WHERE {corners}
 """.strip()
 
 
+def _annulus_paths_df(spark, sf_dir) -> DataFrame:
+    """2-segment part paths on the folded-key donut: even ids HUG the
+    annulus right side (all vertices and segments strictly between the
+    rings => contained); odd ids run the horizontal DIAMETER chord —
+    every vertex strictly in the annulus, but segment 1 crosses the
+    hole ring twice (=> rejected by the hole-crossing rule even though
+    the vertex test passes)."""
+    fk = "(p_partkey % 97)"
+    cx, cy = PX.format(k=fk), PY.format(k=fk)
+    a, b = QA.format(k=fk), QB.format(k=fk)
+    base = spark.read.parquet(f"{sf_dir}/part.parquet")
+    hug = base.selectExpr(
+        "p_partkey * 2 as id", "2 as kind",
+        f"array(({cx}) + (({a}) * 7e-1), ({cy}), "
+        f"({cx}) + (({a}) * 75e-2), ({cy}) + (({b}) * 5e-2), "
+        f"({cx}) + (({a}) * 8e-1), ({cy})) as coords",
+        "cast(null as array<int>) as rings",
+    )
+    chord = base.selectExpr(
+        "p_partkey * 2 + 1 as id", "2 as kind",
+        f"array(({cx}) + (({a}) * 75e-2), ({cy}), "
+        f"({cx}) - (({a}) * 75e-2), ({cy}), "
+        f"({cx}) - (({a}) * 7e-1), ({cy}) + (({b}) * 5e-2)) as coords",
+        "cast(null as array<int>) as rings",
+    )
+    return hug.unionAll(chord)
+
+
+def q_donuts_contain_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLED POLYGON contains LINESTRING — the geo-0.14 ASYMMETRY
+    (kernels._con_poly_seg_reject(LINESTRING, include_exterior=False),
+    geo 0.14 contains.rs: 'the Polygon interior is allowed to intersect
+    with the LineString but the Polygon's interior rings are not'): all
+    vertices strictly inside PLUS rejection on HOLE-ring crossings
+    only. Supplier donuts indexed, folded-key annulus paths probe —
+    hugging paths contained, diameter-chord paths (vertices all in the
+    annulus, segment through the hole) asserted rejected
+    (tests/test_entry_contract.py)."""
+    donuts = _donuts_df(spark, sf_dir, "supplier", "s_suppkey")
+    paths = _annulus_paths_df(spark, sf_dir)
+    idx = SpatialIndex.build(spark, donuts, validate=False)
+    return idx.spatial_join(paths, how="contains", validate=False, big_kinds={2})
+
+
+def _oracle_donuts_contain_paths() -> str:
+    """DuckDB twin of q_donuts_contain_paths: all three vertices under
+    the donut strict-interior test, minus any pair with a path segment
+    crossing the HOLE ring (4 hole segments only — mirroring the
+    kernel's include_exterior=False arm; for these convex exteriors a
+    strictly-inside path cannot cross the exterior ring anyway)."""
+    fk = "(p_partkey % 97)"
+    cx_f, cy_f = PX.format(k=fk), PY.format(k=fk)
+    a_f, b_f = QA.format(k=fk), QB.format(k=fk)
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    strict_in = (
+        "((cx) - (cx + a)) * (({py}) - cy) - ((cy + b) - cy) * (({px}) - (cx + a)) > 0"
+        " AND ((cx - a) - cx) * (({py}) - (cy + b)) - (cy - (cy + b)) * (({px}) - cx) > 0"
+        " AND (cx - (cx - a)) * (({py}) - cy) - ((cy - b) - cy) * (({px}) - (cx - a)) > 0"
+        " AND ((cx + a) - cx) * (({py}) - (cy - b)) - (cy - (cy - b)) * (({px}) - cx) > 0"
+        " AND NOT ("
+        "   ((cx) - (cx + ah)) * (({py}) - cy) - ((cy + bh) - cy) * (({px}) - (cx + ah)) >= 0"
+        "   AND ((cx - ah) - cx) * (({py}) - (cy + bh)) - (cy - (cy + bh)) * (({px}) - cx) >= 0"
+        "   AND (cx - (cx - ah)) * (({py}) - cy) - ((cy - bh) - cy) * (({px}) - (cx - ah)) >= 0"
+        "   AND ((cx + ah) - cx) * (({py}) - (cy - bh)) - (cy - (cy - bh)) * (({px}) - cx) >= 0)"
+    )
+    all_in = " AND ".join(
+        "(" + strict_in.format(px=f"v{i}x", py=f"v{i}y") + ")" for i in range(3)
+    )
+    return f"""
+WITH pv AS MATERIALIZED (
+  SELECT p_partkey * 2 AS lid,
+         ({cx_f}) + (({a_f}) * 7e-1) AS v0x, ({cy_f}) AS v0y,
+         ({cx_f}) + (({a_f}) * 75e-2) AS v1x, ({cy_f}) + (({b_f}) * 5e-2) AS v1y,
+         ({cx_f}) + (({a_f}) * 8e-1) AS v2x, ({cy_f}) AS v2y FROM part
+  UNION ALL
+  SELECT p_partkey * 2 + 1,
+         ({cx_f}) + (({a_f}) * 75e-2), ({cy_f}),
+         ({cx_f}) - (({a_f}) * 75e-2), ({cy_f}),
+         ({cx_f}) - (({a_f}) * 7e-1), ({cy_f}) + (({b_f}) * 5e-2) FROM part
+),
+pseg AS MATERIALIZED (
+  SELECT lid, v0x AS pax, v0y AS pay, v1x AS pbx, v1y AS pby FROM pv
+  UNION ALL SELECT lid, v1x, v1y, v2x, v2y FROM pv
+),
+dn AS MATERIALIZED (SELECT s_suppkey, {px_s} AS cx, {py_s} AS cy, {a} AS a, {b} AS b,
+                           ({a}) * 5e-1 AS ah, ({b}) * 5e-1 AS bh FROM supplier),
+hseg AS MATERIALIZED (
+  SELECT s_suppkey, (cx + ah) AS sax, cy AS say, cx AS sbx, (cy + bh) AS sby FROM dn
+  UNION ALL SELECT s_suppkey, cx, (cy + bh), (cx - ah), cy FROM dn
+  UNION ALL SELECT s_suppkey, (cx - ah), cy, cx, (cy - bh) FROM dn
+  UNION ALL SELECT s_suppkey, cx, (cy - bh), (cx + ah), cy FROM dn
+),
+vin AS (
+  SELECT pv.lid, dn.s_suppkey
+  FROM pv, dn
+  WHERE {all_in}
+),
+xed AS (
+  SELECT DISTINCT pseg.lid, hseg.s_suppkey
+  FROM pseg, hseg WHERE {_seg_seg_intersect_pred()}
+)
+SELECT vin.lid AS big_id, vin.s_suppkey AS small_id
+FROM vin LEFT JOIN xed
+  ON xed.lid = vin.lid AND xed.s_suppkey = vin.s_suppkey
+WHERE xed.lid IS NULL
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
     px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
@@ -2987,6 +3096,7 @@ FROM a JOIN b
         "lines_contain_lines": _oracle_lines_contain_lines(),
         "paths_contain_paths": _oracle_paths_contain_paths(),
         "tris_contain_rects": _oracle_tris_contain_rects(),
+        "donuts_contain_paths": _oracle_donuts_contain_paths(),
         "donut_quads_contain_points": _oracle_donut_quads(),
         "wkt_quads_contain_points": _oracle_wkt_quads(),
         "geom_measures": _oracle_geom_measures(),
@@ -4232,6 +4342,7 @@ QUERIES = {
     "lines_contain_lines": q_lines_contain_lines,
     "paths_contain_paths": q_paths_contain_paths,
     "tris_contain_rects": q_tris_contain_rects,
+    "donuts_contain_paths": q_donuts_contain_paths,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
     "rects_intersect_cogroup": q_rects_intersect_cogroup,

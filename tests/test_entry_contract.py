@@ -120,6 +120,22 @@ def test_strategy_queries_engage_their_paths(spark):
         assert (2 * k, k) in got_cl, f"half-segment probe {2*k} not contained"
         assert (2 * k + 1, k) not in got_cl, f"spanning probe {2*k+1} wrongly contained"
 
+    # the donut-contains-path row must observe BOTH arms of the
+    # hole-aware rule on every folded-key collision: hugging paths
+    # (even ids) contained, diameter-chord paths (odd ids — vertices
+    # all strictly in the annulus, segment through the hole) rejected
+    from spatialjoin.queries import q_donuts_contain_paths
+
+    got_dp = {(r.big_id, r.small_id)
+              for r in q_donuts_contain_paths(spark, SF_DIR).collect()}
+    part_keys = [k for (k,) in duckdb.connect().execute(
+        f"SELECT p_partkey FROM '{SF_DIR}/part.parquet'").fetchall()]
+    coll = [k for k in part_keys if (k % 97) in sup_ids]
+    assert coll, "no folded-key collision at this sf"
+    for k in coll:
+        assert (2 * k, k % 97) in got_dp, f"hugging path {2*k} not contained"
+        assert (2 * k + 1, k % 97) not in got_dp, f"chord path {2*k+1} wrongly contained"
+
     # the mixed-prox row's index must really be multilevel (>= 2
     # populated size strata) or it would just re-test one resolution
     lines = _mixed_lines_df(spark, SF_DIR)
