@@ -3045,6 +3045,119 @@ WHERE xed.lid IS NULL
 """.strip()
 
 
+def q_lines_intersect_tris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE x TRIANGLE intersects — the generic crossings-or-endpoint
+    composite with NO triangle-vertex-in-line term (a line is not a
+    container kind; kernels._generic_area_intersect(LINE, TRIANGLE)):
+    supplier triangles indexed, orders lines probe."""
+    tris = _tris_df(spark, sf_dir, "supplier", "s_suppkey")
+    lines = _lines_df(spark, sf_dir, "orders", "o_orderkey")
+    idx = SpatialIndex.build(spark, tris, validate=False)
+    return idx.spatial_join(lines, how="intersects", validate=False, big_kinds={1})
+
+
+def _oracle_lines_tris() -> str:
+    """DuckDB twin of q_lines_intersect_tris: the line segment against
+    the 3 triangle edges under _seg_seg_intersect_pred, UNION either
+    line endpoint under the boundary-inclusive same-side test."""
+    sx, sy = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    sa, sb = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    ox0, oy0 = PX.format(k="o_orderkey"), PY.format(k="o_orderkey")
+    odx1, ody1 = DX1.format(k="o_orderkey"), DY1.format(k="o_orderkey")
+    in_either = ("(" + _pt_in_tri_pred("pax", "pay") + ") OR ("
+                 + _pt_in_tri_pred("pbx", "pby") + ")")
+    return f"""
+WITH tri AS MATERIALIZED (SELECT s_suppkey,
+            ({sx}) - ({sa}) AS v0x, ({sy}) - ({sb}) AS v0y,
+            ({sx}) + ({sa}) AS v1x, ({sy}) - ({sb}) AS v1y,
+            ({sx}) AS v2x, ({sy}) + ({sb}) AS v2y FROM supplier),
+tseg AS MATERIALIZED (
+  SELECT s_suppkey, v0x AS sax, v0y AS say, v1x AS sbx, v1y AS sby FROM tri
+  UNION ALL SELECT s_suppkey, v1x, v1y, v2x, v2y FROM tri
+  UNION ALL SELECT s_suppkey, v2x, v2y, v0x, v0y FROM tri
+),
+ln AS MATERIALIZED (SELECT o_orderkey, {ox0} AS pax, {oy0} AS pay,
+              ({ox0}) + ({odx1}) AS pbx, ({oy0}) + ({ody1}) AS pby FROM orders)
+SELECT DISTINCT big_id, small_id FROM (
+  SELECT ln.o_orderkey AS big_id, tseg.s_suppkey AS small_id
+  FROM ln, tseg WHERE {_seg_seg_intersect_pred()}
+  UNION
+  SELECT ln.o_orderkey, tri.s_suppkey
+  FROM ln, tri WHERE {in_either}
+)
+""".strip()
+
+
+def q_rects_intersect_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECT x POLYGON intersects — the generic composite with MIXED
+    per-kind point rules (kernels._generic_area_intersect(RECT,
+    POLYGON): edge crossings OR rect corner STRICTLY inside the polygon
+    OR polygon vertex inside the CLOSED rect): supplier quads indexed,
+    part rects probe."""
+    quads = _quads_df(spark, sf_dir, "supplier", "s_suppkey")
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    idx = SpatialIndex.build(spark, quads, validate=False)
+    return idx.spatial_join(rects, how="intersects", validate=False, big_kinds={4})
+
+
+def _oracle_rects_quads() -> str:
+    """DuckDB twin of q_rects_intersect_quads: 4x4 edge crossings UNION
+    rect corners under the STRICT convex interior test UNION quad
+    vertices under the CLOSED rect test — the two asymmetric point
+    rules mirrored exactly."""
+    px, py = PX.format(k="p_partkey"), PY.format(k="p_partkey")
+    ra, rb = RA.format(k="p_partkey"), RB.format(k="p_partkey")
+    px_s, py_s = PX.format(k="s_suppkey"), PY.format(k="s_suppkey")
+    a, b = QA.format(k="s_suppkey"), QB.format(k="s_suppkey")
+    strict_in = (
+        "((cx) - (cx + a)) * (({py}) - cy) - ((cy + b) - cy) * (({px}) - (cx + a)) > 0"
+        " AND ((cx - a) - cx) * (({py}) - (cy + b)) - (cy - (cy + b)) * (({px}) - cx) > 0"
+        " AND (cx - (cx - a)) * (({py}) - cy) - ((cy - b) - cy) * (({px}) - (cx - a)) > 0"
+        " AND ((cx + a) - cx) * (({py}) - (cy - b)) - (cy - (cy - b)) * (({px}) - cx) > 0"
+    )
+    any_corner = " OR ".join(
+        "(" + strict_in.format(px=X, py=Y) + ")"
+        for X, Y in (("xmin", "ymin"), ("xmax", "ymin"),
+                     ("xmax", "ymax"), ("xmin", "ymax"))
+    )
+    return f"""
+WITH rc AS MATERIALIZED (SELECT p_partkey,
+              ({px}) - ({ra}) AS xmin, ({py}) - ({rb}) AS ymin,
+              ({px}) + ({ra}) AS xmax, ({py}) + ({rb}) AS ymax FROM part),
+qd AS MATERIALIZED (SELECT s_suppkey, {px_s} AS cx, {py_s} AS cy,
+                           {a} AS a, {b} AS b FROM supplier),
+redge AS MATERIALIZED (
+  SELECT p_partkey, xmin AS pax, ymin AS pay, xmax AS pbx, ymin AS pby FROM rc
+  UNION ALL SELECT p_partkey, xmax, ymin, xmax, ymax FROM rc
+  UNION ALL SELECT p_partkey, xmax, ymax, xmin, ymax FROM rc
+  UNION ALL SELECT p_partkey, xmin, ymax, xmin, ymin FROM rc
+),
+qedge AS MATERIALIZED (
+  SELECT s_suppkey, (cx + a) AS sax, cy AS say, cx AS sbx, (cy + b) AS sby FROM qd
+  UNION ALL SELECT s_suppkey, cx, (cy + b), (cx - a), cy FROM qd
+  UNION ALL SELECT s_suppkey, (cx - a), cy, cx, (cy - b) FROM qd
+  UNION ALL SELECT s_suppkey, cx, (cy - b), (cx + a), cy FROM qd
+),
+qvert AS MATERIALIZED (
+  SELECT s_suppkey, (cx + a) AS qx, cy AS qy FROM qd
+  UNION ALL SELECT s_suppkey, cx, (cy + b) FROM qd
+  UNION ALL SELECT s_suppkey, (cx - a), cy FROM qd
+  UNION ALL SELECT s_suppkey, cx, (cy - b) FROM qd
+)
+SELECT DISTINCT big_id, small_id FROM (
+  SELECT redge.p_partkey AS big_id, qedge.s_suppkey AS small_id
+  FROM redge, qedge WHERE {_seg_seg_intersect_pred()}
+  UNION
+  SELECT rc.p_partkey, qd.s_suppkey
+  FROM rc, qd WHERE {any_corner}
+  UNION
+  SELECT rc.p_partkey, qvert.s_suppkey
+  FROM rc, qvert
+  WHERE qx >= xmin AND qx <= xmax AND qy >= ymin AND qy <= ymax
+)
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     px_c, py_c = PX.format(k="c_custkey"), PY.format(k="c_custkey")
     px_p, py_p = PX.format(k="p_partkey"), PY.format(k="p_partkey")
@@ -3097,6 +3210,8 @@ FROM a JOIN b
         "paths_contain_paths": _oracle_paths_contain_paths(),
         "tris_contain_rects": _oracle_tris_contain_rects(),
         "donuts_contain_paths": _oracle_donuts_contain_paths(),
+        "lines_intersect_tris": _oracle_lines_tris(),
+        "rects_intersect_quads": _oracle_rects_quads(),
         "donut_quads_contain_points": _oracle_donut_quads(),
         "wkt_quads_contain_points": _oracle_wkt_quads(),
         "geom_measures": _oracle_geom_measures(),
@@ -4343,6 +4458,8 @@ QUERIES = {
     "paths_contain_paths": q_paths_contain_paths,
     "tris_contain_rects": q_tris_contain_rects,
     "donuts_contain_paths": q_donuts_contain_paths,
+    "lines_intersect_tris": q_lines_intersect_tris,
+    "rects_intersect_quads": q_rects_intersect_quads,
     "pip_rect_contains": q_pip_rect_contains,
     "rects_intersect": q_rects_intersect,
     "rects_intersect_cogroup": q_rects_intersect_cogroup,
