@@ -259,10 +259,18 @@ def main() -> None:
     # post-run ceiling probe: the guard only samples the window at
     # START; a run recorded 2026-08-17T19:27 passed a 0.896 pre-probe
     # and still landed at normalized 0.74 because neighbors degraded
-    # MID-run. Recording the post probe (not used for normalization —
-    # the established entries have no counterpart) lets a reader see
-    # whether a weak entry's window held or collapsed underneath it.
+    # MID-run. The probe is not used for normalization (the established
+    # entries have no counterpart), but a run whose window COLLAPSED
+    # underneath it is marked degraded exactly like a dirty pre-probe
+    # (r5 advisory: the 2026-08-18T22:43 run went pre 0.961 -> post
+    # 0.655 and still entered the record clean, skewing the median).
     ceiling_post = machine_ceiling(n, n4)
+    post_ratio = ceiling_post / (n4 // n)
+    pre_ratio = ceiling / (n4 // n)
+    if post_ratio < min_ceiling or post_ratio < 0.8 * pre_ratio:
+        degraded = True
+        result["degraded_mid_run"] = True
+    result["machine_parallel_ceiling_post"] = round(post_ratio, 4)
     # append every harness run to a history log: single-run numbers on
     # this VM swim (noisy neighbors move BOTH the engine times and the
     # CPU-burn ceiling run-to-run), so the honest summary is the
@@ -292,7 +300,11 @@ def main() -> None:
     # AND normalized >= 0.8 in the same entry — cite the best such entry
     # so the decision doesn't rest on the median alone once one exists
     clean = [h for h in hist
-             if h.get("ceiling", 0) >= 0.85 and h.get("normalized", 0) >= 0.8]
+             if h.get("ceiling", 0) >= 0.85 and h.get("normalized", 0) >= 0.8
+             and not h.get("degraded", False)
+             # entries predating the post-probe (r5) have no field; an
+             # entry that HAS one must show the window held to count
+             and h.get("ceiling_post", 1.0) >= 0.85]
     best_clean = max(clean, key=lambda h: h["normalized"]) if clean else None
     md = [
         "# BENCH / BASELINE — measured numbers",
@@ -314,9 +326,10 @@ def main() -> None:
         "",
         "THIS run was recorded under the r5 clean-window guard: the harness",
         "refuses to record unless its own pre-run pure-CPU ceiling probe reads",
-        f">= 0.85 (this run: **{ceiling / (n4 // n):.3f}**"
-        + (", guard FORCED past a degraded window — flagged in HISTORY.jsonl)."
-           if degraded else ", clean)."),
+        f">= 0.85 (this run: pre **{ceiling / (n4 // n):.3f}**, post "
+        f"**{ceiling_post / (n4 // n):.3f}**"
+        + (", DEGRADED window — flagged in HISTORY.jsonl)."
+           if degraded else ", clean, and the window held through the run)."),
         "Degraded-window runs (like round 4's raw 0.555 / normalized 0.693)",
         "can no longer silently enter the record.",
         "",

@@ -295,7 +295,15 @@ def _point_batch(px, py):
 def _slim_probe_batch(col, slim):
     """Rebuild the probe GeomBatch from slim scalar columns: two doubles
     for points, the four bbox doubles for rects (bit-exact at buffer
-    zero — no coords array ever crosses the boundary)."""
+    zero — no coords array ever crosses the boundary). ``slim=None``
+    (general-geometry probes, r6) decodes the carried kind/coords/rings
+    columns as one flat Arrow buffer per batch (GeomBatch.from_arrow —
+    no per-row boxing)."""
+    if slim is None:
+        return GeomBatch.from_arrow(
+            col["b_kind"].to_numpy(zero_copy_only=False),
+            col["b_coords"], col["b_rings"],
+        )
     if slim == "point":
         return _point_batch(
             col["bx"].to_numpy(zero_copy_only=False),
@@ -538,11 +546,18 @@ class SpatialIndex:
             F.sum(F.size("s_coords")),
             F.collect_set("s_kind"),
             F.max(F.size("s_rings")),
+            F.min(F.size("s_coords")),
+            F.max(F.size("s_coords")),
         ).first()
         n_small = int(stats[6] or 0)
         n_vals = int(stats[7] or 0)
         small_kinds = set(stats[8] or [])
         small_max_rings = int(stats[9] or 0)
+        # uniform per-geometry coordinate count (or None): unlocks the
+        # UNROLLED pure-JVM PIP refine (fixed segment count per row)
+        small_uniform_size = int(stats[10]) if (
+            stats[10] is not None and stats[10] == stats[11]
+        ) else None
         if extent is None or resolution is None:
             xmin, ymin, xmax, ymax, med_w, med_h = stats[:6]
             if xmin is None:
@@ -641,6 +656,7 @@ class SpatialIndex:
         idx.n_small_rows = n_small
         idx._small_kinds_cache = small_kinds
         idx._small_max_rings = small_max_rings
+        idx._small_uniform_size = small_uniform_size
         return idx
 
     # -- operators -----------------------------------------------------------
@@ -751,6 +767,18 @@ class SpatialIndex:
                 slim = "point"
             elif bk == {KR}:
                 slim = "rect"
+        # r6: rect/point-vs-rect/point predicates are pure bbox logic
+        # (same equivalence argument as _sql_predicate: candidates
+        # already bbox-overlap, so Intersects degenerates to TRUE and
+        # Contains/Within to bbox containment + the point-dim guard).
+        # The grouped refine then skips the geometry columns in the
+        # shuffle (s_coords/s_rings never ship — for rects that is the
+        # entire geometry payload) and the kernel calls per group.
+        bbox_only = (
+            op == "join" and not with_geos and slim is not None
+            and self.max_distance == 0.0
+            and self._small_kinds() <= {KP, KR}
+        )
         b = self._probe_cells(big_df, validate, point_probe=slim == "point")
         small = self.small_cells
         if self.small_fine is not None:
@@ -766,8 +794,14 @@ class SpatialIndex:
         else:
             b = b.select("cell", "big_id", "b_kind", "b_coords", "b_rings",
                          "b_xmin", "b_ymin", "b_xmax", "b_ymax")
-        small = small.select("cell", "small_id", "s_kind", "s_coords", "s_rings",
-                             "s_xmin", "s_ymin", "s_xmax", "s_ymax")
+        if bbox_only:
+            # s_kind (one byte) stays for the point-dim guard; the
+            # coords/rings arrays — the shuffle's heavy columns — do not
+            small = small.select("cell", "small_id", "s_kind",
+                                 "s_xmin", "s_ymin", "s_xmax", "s_ymax")
+        else:
+            small = small.select("cell", "small_id", "s_kind", "s_coords", "s_rings",
+                                 "s_xmin", "s_ymin", "s_xmax", "s_ymax")
         spark = small.sparkSession
         n_groups = self._n_cells()
         par = spark.sparkContext.defaultParallelism
@@ -873,6 +907,32 @@ class SpatialIndex:
             qi, ti = qi[keep], ti[keep]
             if len(qi) == 0:
                 return empty
+            if bbox_only:
+                # candidates already bbox-overlap: Intersects is TRUE;
+                # Contains/Within reduce to bbox containment + the
+                # point-dim guard (point never contains a higher-dim
+                # geometry). Identical to the kernel verdicts for
+                # rect/point kinds — no geometry ever shipped.
+                if how == "intersects":
+                    m = np.ones(len(qi), dtype=bool)
+                else:
+                    skind = stab.column("s_kind").to_numpy()
+                    if how == "contains":
+                        m = ((sx0[ti] <= bx0[qi]) & (sy0[ti] <= by0[qi])
+                             & (sx1[ti] >= bx1[qi]) & (sy1[ti] >= by1[qi]))
+                        if slim == "rect":
+                            m &= skind[ti] != KP
+                    else:  # within: big contains small
+                        m = ((bx0[qi] <= sx0[ti]) & (by0[qi] <= sy0[ti])
+                             & (bx1[qi] >= sx1[ti]) & (by1[qi] >= sy1[ti]))
+                        if slim == "point":
+                            m &= skind[ti] == KP
+                mq, mt = qi[m], ti[m]
+                return pa.Table.from_arrays(
+                    [pa.array(btab.column("big_id").to_numpy()[mq]),
+                     pa.array(stab.column("small_id").to_numpy()[mt])],
+                    names=["big_id", "small_id"],
+                )
             A = GeomBatch.from_arrow(
                 stab.column("s_kind").to_numpy(),
                 stab.column("s_coords"), stab.column("s_rings"),
@@ -970,18 +1030,27 @@ class SpatialIndex:
     def _small_kinds(self) -> set[int]:
         if not hasattr(self, "_small_kinds_cache"):
             row = self.small_cells.select(
-                F.collect_set("s_kind"), F.max(F.size("s_rings"))
+                F.collect_set("s_kind"), F.max(F.size("s_rings")),
+                F.min(F.size("s_coords")), F.max(F.size("s_coords")),
             ).first()
             kinds = set(row[0])
             max_rings = row[1] or 0
+            lo, hi = row[2], row[3]
             if self.small_fine is not None:
                 r2 = self.small_fine.select(
-                    F.collect_set("s_kind"), F.max(F.size("s_rings"))
+                    F.collect_set("s_kind"), F.max(F.size("s_rings")),
+                    F.min(F.size("s_coords")), F.max(F.size("s_coords")),
                 ).first()
                 kinds |= set(r2[0])
                 max_rings = max(max_rings, r2[1] or 0)
+                both_lo = [x for x in (lo, r2[2]) if x is not None]
+                both_hi = [x for x in (hi, r2[3]) if x is not None]
+                lo = min(both_lo) if both_lo else None
+                hi = max(both_hi) if both_hi else None
             self._small_kinds_cache = kinds
             self._small_max_rings = int(max_rings)
+            self._small_uniform_size = int(lo) if (
+                lo is not None and lo == hi) else None
         return self._small_kinds_cache
 
     @staticmethod
@@ -1013,6 +1082,70 @@ class SpatialIndex:
             f" AND {py} >= least({y1}, {y2}) AND {py} <= greatest({y1}, {y2}))"
         )
         return F.expr(f"(({crossing}) % 2 = 1) AND NOT ({onb})")
+
+    # unroll cap: polygons up to this many ring points (closed) get the
+    # pure-JVM literal-index PIP; beyond it the expression tree stops
+    # paying for itself and the vectorized kernels take over
+    PIP_UNROLL_MAX_PTS = 17
+
+    @staticmethod
+    def _sql_pip_unrolled(poly_prefix: str, npts: int, px: str, py: str):
+        """Strict point-in-(hole-less)-polygon with the segment loop
+        UNROLLED into literal-index expressions — usable when every
+        indexed polygon has the same (small) vertex count, known from
+        the build stats job. Arithmetic is the SAME per-segment ray-cast
+        + on-boundary test as _sql_pip and kernels.point_in_poly_strict,
+        term for term (the crossing count is a sum of 0/1 longs, whose
+        addition order cannot change parity), so results stay
+        bit-identical to the kernel path — but with no higher-order
+        functions the whole predicate compiles into whole-stage codegen
+        instead of the interpreted aggregate/exists lambdas (the
+        measured ~19 us/candidate that kept _sql_pip opt-in).
+
+        ``px``/``py`` are SQL expression strings for the probe point —
+        callers pass the b_xmin/b_ymin bbox scalars for point probes
+        (bit-exact at buffer zero) so Catalyst prunes the probe coords
+        array from the scan. The division in the crossing test is
+        guarded by the nested CASE (ANSI mode; guard implies y1 != y2).
+        """
+        c = f"{poly_prefix}_coords"
+        cross_terms, onb_terms = [], []
+        for i in range(npts - 1):
+            x1 = f"element_at({c}, {2 * i + 1})"
+            y1 = f"element_at({c}, {2 * i + 2})"
+            x2 = f"element_at({c}, {2 * i + 3})"
+            y2 = f"element_at({c}, {2 * i + 4})"
+            cross_terms.append(
+                f"(CASE WHEN (({y1} > {py}) != ({y2} > {py})) THEN "
+                f"(CASE WHEN {px} < ({x2} - {x1}) * ({py} - {y1}) / ({y2} - {y1}) + {x1} "
+                f"THEN 1L ELSE 0L END) ELSE 0L END)"
+            )
+            onb_terms.append(
+                f"((({x2} - {x1}) * ({py} - {y1}) - ({y2} - {y1}) * ({px} - {x1})) = 0e0"
+                f" AND {px} >= least({x1}, {x2}) AND {px} <= greatest({x1}, {x2})"
+                f" AND {py} >= least({y1}, {y2}) AND {py} <= greatest({y1}, {y2}))"
+            )
+        crossing = " + ".join(cross_terms)
+        onb = " OR ".join(onb_terms)
+        return F.expr(f"((({crossing}) % 2) = 1) AND NOT ({onb})")
+
+    def _pip_unroll_npts(self, how: str, big_kinds) -> int | None:
+        """Ring point count for the unrolled JVM PIP when it applies to
+        this workload (polygon smalls CONTAIN point probes; hole-free;
+        uniform small vertex count within the unroll cap), else None."""
+        from .geom import POINT as KP, POLYGON as KG
+
+        if how != "contains" or big_kinds is None or set(big_kinds) != {KP}:
+            return None
+        if self._small_kinds() != {KG} or self._small_max_rings > 1:
+            return None
+        size = getattr(self, "_small_uniform_size", None)
+        if size is None or size % 2 != 0:
+            return None
+        npts = size // 2
+        if 4 <= npts <= self.PIP_UNROLL_MAX_PTS:
+            return npts
+        return None
 
     @staticmethod
     def _sql_predicate(how: str, small_kinds, big_kinds):
@@ -1090,23 +1223,36 @@ class SpatialIndex:
             sql_shuffle = (
                 strategy == "auto" and not with_geos
                 and self.max_distance == 0.0
-                and self._sql_predicate(how, self._small_kinds(), big_kinds)
-                is not None
+                and (self._sql_predicate(how, self._small_kinds(), big_kinds)
+                     is not None
+                     # r6: uniform hole-free polygon smalls CONTAIN point
+                     # probes refine via the UNROLLED JVM ray-cast — the
+                     # non-broadcast PIP plan loses its last Python
+                     # operator (was: shuffle-pairs mapInArrow)
+                     or self._pip_unroll_npts(how, big_kinds) is not None)
             )
             # slim (point/rect) probes that DO need the kernels skip
             # cogroup too: the same shuffle equi-join builds candidate
             # pairs carrying the small geometry, and ONE contiguous
             # mapInArrow stream refines them (_arrow_pair_refine) —
             # cogroup's grouped dual-stream machinery is what scales
-            # worst under a full socket (BENCH/COGROUP.md). Cogroup
-            # remains for general-geometry probes and with_geos (where
-            # per-RESULT-row geometry emission beats per-candidate
-            # replication).
+            # worst under a full socket (BENCH/COGROUP.md).
             shuffle_pairs = (
                 strategy == "auto" and self.max_distance == 0.0
                 and slim is not None
             )
-            if not (sql_shuffle or shuffle_pairs):
+            # r6 (VERDICT r05 ask #2): GENERAL-geometry probes (polygon/
+            # linestring) take the pairs route too — candidate pairs
+            # carry BOTH geometries through the JVM cell equi-join and
+            # one contiguous mapInArrow decodes them via flat Arrow
+            # buffers (GeomBatch.from_arrow). Cogroup measured 0.246
+            # N->4N efficiency vs 0.672 for pairs at the 60M rehearsal;
+            # it remains only for with_geos (per-RESULT-row geometry
+            # emission beats per-candidate replication) and when forced.
+            general_pairs = (
+                strategy == "auto" and not with_geos and slim is None
+            )
+            if not (sql_shuffle or shuffle_pairs or general_pairs):
                 out = self._cogroup_refine(big_df, validate, "join", how=how,
                                            with_geos=with_geos,
                                            big_kinds=big_kinds)
@@ -1128,10 +1274,24 @@ class SpatialIndex:
 
             sk = self._small_kinds()
             sqlpred = self._sql_predicate(how, sk, big_kinds)
+            if sqlpred is None:
+                # r6 DEFAULT-ON: point-in-(hole-less)-polygon with a
+                # uniform small vertex count refines via the UNROLLED
+                # ray-cast — whole-stage codegen, no Python operator,
+                # bit-identical to the kernels (same per-segment
+                # arithmetic). Replaces the opt-in interpreted
+                # aggregate/exists _sql_pip for these workloads.
+                npts = self._pip_unroll_npts(how, big_kinds)
+                if npts is not None:
+                    # point probes are unbuffered, so the bbox scalars
+                    # ARE the point coords bit-exactly and b_coords gets
+                    # pruned from the probe scan
+                    sqlpred = self._sql_pip_unrolled("s", npts,
+                                                     "b_xmin", "b_ymin")
             if sqlpred is None and big_kinds is not None and prefer_sql_pip:
-                # point-in-(hole-less)-polygon entirely in the JVM.
-                # Opt-in: interpreted higher-order expressions burn more
-                # CPU than the vectorized-kernel path (measured ~19 vs
+                # general (non-uniform / large) polygons, opt-in only:
+                # interpreted higher-order expressions burn more CPU
+                # than the vectorized-kernel path (measured ~19 vs
                 # ~11 us/candidate) but never cross the Python boundary —
                 # preferable when Python workers are the contended
                 # resource (e.g. many concurrent jobs per executor).
@@ -1156,10 +1316,14 @@ class SpatialIndex:
         out_cols = ["big_id", "small_id"] + extra
         bc = self.small_geo_bc if not with_geos else None
         cand = cand.select(*_refine_input_cols(bc, extra, slim=slim))
-        if slim is not None and bc is not None:
+        # every non-with_geos refine is a contiguous mapInArrow stream
+        # (r6: including general-geometry probes — GeomBatch.from_arrow
+        # reads the carried coords as one flat buffer per batch); only
+        # with_geos still rides mapInPandas for its passthrough columns
+        if not with_geos and bc is not None:
             return cand.mapInArrow(
                 _arrow_point_refine(bc, "join", how=how, slim=slim), schema)
-        if slim is not None:
+        if not with_geos:
             return cand.mapInArrow(
                 _arrow_pair_refine("join", how=how, slim=slim), schema)
 
@@ -1226,13 +1390,15 @@ class SpatialIndex:
             elif bk == {KR}:
                 slim = "rect"
         if strategy == "cogroup" or (strategy == "auto" and not self.broadcast_small):
-            # slim probes route through the shuffle-pairs plan instead
-            # of cogroup, exactly as in spatial_join: candidates come
-            # from the JVM shuffle equi-join on cell (stored small
-            # bboxes are buffered by max_distance at build, so bbox
-            # overlap IS the distance prefilter), one mapInArrow
-            # computes exact distances
-            if not (strategy == "auto" and slim is not None):
+            # probes route through the shuffle-pairs plan instead of
+            # cogroup, exactly as in spatial_join: candidates come from
+            # the JVM shuffle equi-join on cell (stored small bboxes are
+            # buffered by max_distance at build, so bbox overlap IS the
+            # distance prefilter), one mapInArrow computes exact
+            # distances. r6: general-geometry probes included (carried
+            # kind/coords/rings, decoded via flat Arrow buffers) —
+            # cogroup remains only for with_geos and when forced.
+            if with_geos or strategy == "cogroup":
                 out = self._cogroup_refine(big_df, validate, "prox",
                                            with_geos=with_geos,
                                            big_kinds=big_kinds)
@@ -1258,10 +1424,10 @@ class SpatialIndex:
         out_cols = ["big_id", "small_id"] + extra
         bc = self.small_geo_bc if not with_geos else None
         cand = cand.select(*_refine_input_cols(bc, extra, slim=slim))
-        if slim is not None and bc is not None:
+        if not with_geos and bc is not None:
             return cand.mapInArrow(
                 _arrow_point_refine(bc, "prox", max_d=max_d, slim=slim), schema)
-        if slim is not None:
+        if not with_geos:
             return cand.mapInArrow(
                 _arrow_pair_refine("prox", max_d=max_d, slim=slim), schema)
 

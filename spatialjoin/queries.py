@@ -2469,7 +2469,8 @@ def _annulus_rects_df(spark, sf_dir) -> DataFrame:
     center offset (a * 0.75, 0) from the folded hash center, half-sizes
     a/20 x b/20 — a folded-key collision with a supplier is a rect
     strictly between that supplier's donut rings (x-span [0.7a, 0.8a],
-    rhombus norm in [0.65, 0.85], clear of both)."""
+    rhombus norm in [0.7, 0.85] — min 0.7 at (cx + 0.7a, cy) — clear of
+    both rings)."""
     fk = "(p_partkey % 97)"
     cx, cy = PX.format(k=fk), PY.format(k=fk)
     a, b = QA.format(k=fk), QB.format(k=fk)
@@ -4436,10 +4437,96 @@ SELECT p_partkey, d AS hkey FROM it WHERE lvl = -1
 """.strip()
 
 
+# Dict ORDER is evidence routing, not cosmetics: the external driver's
+# correctness gate records the FIRST 50 entries in dict order (each
+# CORRECTNESS_r*.json is exactly that prefix). r5 front-loaded 17 new
+# kernel-cell rows and pushed 43 queries out of the window — 19 of them
+# (the r5 flagships) had NEVER had a driver verdict (VERDICT r05 ask #1,
+# ADVICE r05 #1). r6 reorders so the window carries maximal NEW
+# evidence: (a) the 19 never-driver-checked rows first, (b) the 24 rows
+# last verified in r04, (c) one representative per bench-suite family
+# (green in r05). Rows green in CORRECTNESS_r05 itself sit after the
+# window — their evidence is banked. No query was added, removed, or
+# changed; oracle_sql() text per name is untouched.
 QUERIES = {
+    # -- (a) never driver-checked before r6 --------------------------------
+    "av_pipeline": q_av_pipeline,
+    "resume_rollup": q_resume_rollup,
+    "zonal_stats": q_zonal_stats,
+    "rects_overlap_area": q_rects_overlap_area,
+    "tile_pixels": q_tile_pixels,
+    "q8_psnr": q_q8_psnr,
+    "hilbert_key": q_hilbert_key,
+    "hilbert_extent_scan": q_hilbert_extent_scan,
+    "dup_clusters": TEXT_QUERIES["dup_clusters"],
+    "phash_near_dup": q_phash_near_dup,
+    "knn_images": q_knn_images,
+    "wkb_quads_contain_points": q_wkb_quads_contain_points,
+    "pip_quad_sample": q_pip_quad_sample,
+    "events_stream_pip": q_events_stream_pip,
+    "events_stream_pip_poly": q_events_stream_pip_poly,
+    "lines_prox_rects": q_lines_prox_rects,
+    "rects_prox_rects": q_rects_prox_rects,
+    "quads_prox_quads": q_quads_prox_quads,
+    "tris_prox_rects": q_tris_prox_rects,
+    # -- (b) last driver-checked in r04 ------------------------------------
+    "knn_points": q_knn_points,
+    "knn_skew": q_knn_skew,
+    "tile_assign": q_tile_assign,
+    "prox_with_geos": q_prox_with_geos,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
+    "ann_topk_clustered": q_ann_topk_clustered,
+    "ann_ivf_clustered": q_ann_ivf_clustered,
+    "ann_lsh_clustered": q_ann_lsh_clustered,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "cell_counts": q_cell_counts,
+    "top_tiles": q_top_tiles,
+    "unmatched_customers": q_unmatched_customers,
+    "images_pipeline": q_images_pipeline,
+    "exact_dedup": TEXT_QUERIES["exact_dedup"],
+    "ngram_jaccard": TEXT_QUERIES["ngram_jaccard"],
+    "minhash_lsh": TEXT_QUERIES["minhash_lsh"],
+    "simhash_pairs": TEXT_QUERIES["simhash_pairs"],
+    "doc_stats": TEXT_QUERIES["doc_stats"],
+    "lang_guess": TEXT_QUERIES["lang_guess"],
+    "doc_fingerprint": TEXT_QUERIES["doc_fingerprint"],
+    "token_top_terms": TEXT_QUERIES["token_top_terms"],
+    # -- (c) bench-suite representatives (green r05) -----------------------
     "pip_quad_contains": q_pip_quad_contains,
     "pip_quad_cogroup": q_pip_quad_cogroup,
     "pip_quad_pairs": q_pip_quad_pairs,
+    "pip_rect_contains": q_pip_rect_contains,
+    "rects_intersect": q_rects_intersect,
+    "rects_intersect_cogroup": q_rects_intersect_cogroup,
+    "prox_points": q_prox_points,
+    # ======================= driver window ends here ======================
+    # -- banked: green in CORRECTNESS_r05 ----------------------------------
+    "rects_intersect_shuffle": q_rects_intersect_shuffle,
+    "mixed_prox_points": q_mixed_prox_points,
+    "wkt_dead_letter": q_wkt_dead_letter,
+    "hot_rects_intersect": q_hot_rects_intersect,
+    "donut_quads_contain_points": q_donut_quads_contain_points,
+    "wkt_quads_contain_points": q_wkt_quads_contain_points,
+    "geom_measures": q_geom_measures,
+    "mixed_rects_intersect": q_mixed_rects_intersect,
+    "paths_intersect_rects": q_paths_intersect_rects,
+    "lines_intersect_rects": q_lines_intersect_rects,
+    "tris_contain_points": q_tris_contain_points,
+    "tris_intersect_rects": q_tris_intersect_rects,
+    "join_with_geos": q_join_with_geos,
+    "events_tile_rollup": q_events_tile_rollup,
+    "events_stream_rollup": q_events_stream_rollup,
+    "events_rollup_cube": q_events_rollup_cube,
+    "geo_storage_roundtrip": q_geo_storage_roundtrip,
+    "lines_prox_points": q_lines_prox_points,
+    "quads_prox_points": q_quads_prox_points,
+    "rects_prox_points": q_rects_prox_points,
+    "tris_prox_points": q_tris_prox_points,
+    "paths_prox_lines": q_paths_prox_lines,
+    "paths_prox_donuts": q_paths_prox_donuts,
     "points_within_quads": q_points_within_quads,
     "quads_intersect_quads": q_quads_intersect_quads,
     "points_intersect_points": q_points_intersect_points,
@@ -4460,66 +4547,4 @@ QUERIES = {
     "donuts_contain_paths": q_donuts_contain_paths,
     "lines_intersect_tris": q_lines_intersect_tris,
     "rects_intersect_quads": q_rects_intersect_quads,
-    "pip_rect_contains": q_pip_rect_contains,
-    "rects_intersect": q_rects_intersect,
-    "rects_intersect_cogroup": q_rects_intersect_cogroup,
-    "rects_intersect_shuffle": q_rects_intersect_shuffle,
-    "mixed_prox_points": q_mixed_prox_points,
-    "wkt_dead_letter": q_wkt_dead_letter,
-    "hot_rects_intersect": q_hot_rects_intersect,
-    "donut_quads_contain_points": q_donut_quads_contain_points,
-    "wkt_quads_contain_points": q_wkt_quads_contain_points,
-    "geom_measures": q_geom_measures,
-    "mixed_rects_intersect": q_mixed_rects_intersect,
-    "prox_points": q_prox_points,
-    "paths_intersect_rects": q_paths_intersect_rects,
-    "lines_intersect_rects": q_lines_intersect_rects,
-    "tris_contain_points": q_tris_contain_points,
-    "tris_intersect_rects": q_tris_intersect_rects,
-    "join_with_geos": q_join_with_geos,
-    "events_tile_rollup": q_events_tile_rollup,
-    "events_stream_rollup": q_events_stream_rollup,
-    "events_rollup_cube": q_events_rollup_cube,
-    "geo_storage_roundtrip": q_geo_storage_roundtrip,
-    "lines_prox_points": q_lines_prox_points,
-    "quads_prox_points": q_quads_prox_points,
-    "rects_prox_points": q_rects_prox_points,
-    "tris_prox_points": q_tris_prox_points,
-    "paths_prox_lines": q_paths_prox_lines,
-    "paths_prox_donuts": q_paths_prox_donuts,
-    "lines_prox_rects": q_lines_prox_rects,
-    "rects_prox_rects": q_rects_prox_rects,
-    "quads_prox_quads": q_quads_prox_quads,
-    "tris_prox_rects": q_tris_prox_rects,
-    "prox_with_geos": q_prox_with_geos,
-    "knn_points": q_knn_points,
-    "knn_skew": q_knn_skew,
-    "tile_assign": q_tile_assign,
-    "ann_topk": q_ann_topk,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "ann_topk_clustered": q_ann_topk_clustered,
-    "ann_lsh_clustered": q_ann_lsh_clustered,
-    "ann_ivf_clustered": q_ann_ivf_clustered,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "zonal_stats": q_zonal_stats,
-    "rects_overlap_area": q_rects_overlap_area,
-    "cell_counts": q_cell_counts,
-    "top_tiles": q_top_tiles,
-    "unmatched_customers": q_unmatched_customers,
-    "images_pipeline": q_images_pipeline,
-    "av_pipeline": q_av_pipeline,
-    "phash_near_dup": q_phash_near_dup,
-    "tile_pixels": q_tile_pixels,
-    "q8_psnr": q_q8_psnr,
-    "hilbert_key": q_hilbert_key,
-    "events_stream_pip": q_events_stream_pip,
-    "events_stream_pip_poly": q_events_stream_pip_poly,
-    "resume_rollup": q_resume_rollup,
-    "pip_quad_sample": q_pip_quad_sample,
-    "wkb_quads_contain_points": q_wkb_quads_contain_points,
-    "hilbert_extent_scan": q_hilbert_extent_scan,
-    "knn_images": q_knn_images,
-    **TEXT_QUERIES,
 }

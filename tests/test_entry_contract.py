@@ -86,15 +86,31 @@ def test_strategy_queries_engage_their_paths(spark):
         assert op not in plan, op
     idx.unpersist()
 
-    # the tri x quad hole-rule row must actually SWALLOW pairs: folded
-    # keys guarantee concentric quarter-scale triangles strictly inside
-    # their supplier's quad, and the reference composite (tri-edge
-    # crossings OR quad-vertex-in-tri, NO tri-vertex-in-quad term)
-    # must exclude every one of them
-    from spatialjoin.queries import _quarter_tris_df, _quads_df, q_tris_intersect_quads
+    # the mixed-prox row's index must really be multilevel (>= 2
+    # populated size strata) or it would just re-test one resolution
+    lines = _mixed_lines_df(spark, SF_DIR)
+    idx = SpatialIndex.build(spark, lines, max_distance=0.25, validate=False,
+                             multilevel=True, resolution=6)
+    assert idx.levels is not None and len(idx.levels) >= 2, idx.levels
+    idx.unpersist()
 
-    sup_ids = {r.id for r in _quads_df(spark, SF_DIR, "supplier", "s_suppkey")
-               .select("id").collect()}
+
+def _supplier_quad_ids(spark):
+    from spatialjoin.queries import _quads_df
+
+    return {r.id for r in _quads_df(spark, SF_DIR, "supplier", "s_suppkey")
+            .select("id").collect()}
+
+
+def test_tri_quad_swallowed_pairs(spark):
+    """The tri x quad hole-rule row must actually SWALLOW pairs: folded
+    keys guarantee concentric quarter-scale triangles strictly inside
+    their supplier's quad, and the reference composite (tri-edge
+    crossings OR quad-vertex-in-tri, NO tri-vertex-in-quad term)
+    must exclude every one of them."""
+    from spatialjoin.queries import _quarter_tris_df, q_tris_intersect_quads
+
+    sup_ids = _supplier_quad_ids(spark)
     tri_ids = {r.id for r in _quarter_tris_df(spark, SF_DIR).select("id").collect()}
     swallowed = {(c, c % 97) for c in tri_ids if (c % 97) in sup_ids}
     assert len(swallowed) >= 1, "no folded-key collision at this sf"
@@ -102,17 +118,18 @@ def test_strategy_queries_engage_their_paths(spark):
            for r in q_tris_intersect_quads(spark, SF_DIR).collect()}
     assert not (swallowed & got), sorted(swallowed & got)[:5]
 
-    # the LINESTRING.Contains(LINE) row must observe the per-segment
-    # deviation: every even probe (half of segment 1) IS contained by
-    # its own path, every odd probe (spanning the shared vertex of two
-    # COLLINEAR segments) is NOT — geo 0.14's multi-segment rule would
-    # have accepted it
+
+def test_linestring_contains_line_per_segment(spark):
+    """The LINESTRING.Contains(LINE) row must observe the per-segment
+    deviation: every even probe (half of segment 1) IS contained by
+    its own path, every odd probe (spanning the shared vertex of two
+    COLLINEAR segments) is NOT — geo 0.14's multi-segment rule would
+    have accepted it."""
     from spatialjoin.queries import q_paths_contain_lines
 
     got_cl = {(r.big_id, r.small_id)
               for r in q_paths_contain_lines(spark, SF_DIR).collect()}
-    import duckdb as _dd
-    keys = [k for (k,) in _dd.connect().execute(
+    keys = [k for (k,) in duckdb.connect().execute(
         f"SELECT o_orderkey FROM '{SF_DIR}/orders.parquet' WHERE o_orderkey % 32 = 0"
     ).fetchall()]
     assert keys, "no lattice probe keys at this sf"
@@ -120,12 +137,15 @@ def test_strategy_queries_engage_their_paths(spark):
         assert (2 * k, k) in got_cl, f"half-segment probe {2*k} not contained"
         assert (2 * k + 1, k) not in got_cl, f"spanning probe {2*k+1} wrongly contained"
 
-    # the donut-contains-path row must observe BOTH arms of the
-    # hole-aware rule on every folded-key collision: hugging paths
-    # (even ids) contained, diameter-chord paths (odd ids — vertices
-    # all strictly in the annulus, segment through the hole) rejected
+
+def test_donut_contains_path_hole_rule(spark):
+    """The donut-contains-path row must observe BOTH arms of the
+    hole-aware rule on every folded-key collision: hugging paths
+    (even ids) contained, diameter-chord paths (odd ids — vertices
+    all strictly in the annulus, segment through the hole) rejected."""
     from spatialjoin.queries import q_donuts_contain_paths
 
+    sup_ids = _supplier_quad_ids(spark)
     got_dp = {(r.big_id, r.small_id)
               for r in q_donuts_contain_paths(spark, SF_DIR).collect()}
     part_keys = [k for (k,) in duckdb.connect().execute(
@@ -135,14 +155,6 @@ def test_strategy_queries_engage_their_paths(spark):
     for k in coll:
         assert (2 * k, k % 97) in got_dp, f"hugging path {2*k} not contained"
         assert (2 * k + 1, k % 97) not in got_dp, f"chord path {2*k+1} wrongly contained"
-
-    # the mixed-prox row's index must really be multilevel (>= 2
-    # populated size strata) or it would just re-test one resolution
-    lines = _mixed_lines_df(spark, SF_DIR)
-    idx = SpatialIndex.build(spark, lines, max_distance=0.25, validate=False,
-                             multilevel=True, resolution=6)
-    assert idx.levels is not None and len(idx.levels) >= 2, idx.levels
-    idx.unpersist()
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))

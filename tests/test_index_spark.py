@@ -384,6 +384,54 @@ def test_sql_pip_and_prox_fast_paths(spark):
     idx3.unpersist()
 
 
+def test_sql_pip_unrolled_matches_kernels(spark):
+    """r6: uniform-vertex-count hole-free polygon smalls CONTAIN point
+    probes refine via the UNROLLED pure-JVM ray-cast by default. It
+    must (a) actually engage (no Python operator in the plan, broadcast
+    AND non-broadcast), (b) agree with the kernel path bit-for-bit,
+    including probes exactly on vertices and edge midpoints."""
+    rng = random.Random(58)
+    polys = []
+    for _ in range(40):
+        # all 6-vertex (7 closed ring points -> uniform coords size 14)
+        nv = 6
+        r = rng.uniform(0.1, 1.5)
+        cx, cy = rng.uniform(-5, 5), rng.uniform(-5, 5)
+        pts = []
+        for i in range(nv):
+            a = 2 * math.pi * i / nv
+            pts += [cx + r * math.cos(a), cy + r * math.sin(a)]
+        polys.append((POLYGON, pts, [0]))
+    points = [(POINT, [rng.uniform(-5, 5), rng.uniform(-5, 5)]) for _ in range(300)]
+    # exact-boundary probes: vertices and edge midpoints of every poly
+    for pp in (polys[0][1], polys[7][1], polys[19][1]):
+        points += [(POINT, [pp[0], pp[1]]),
+                   (POINT, [(pp[0] + pp[2]) / 2, (pp[1] + pp[3]) / 2])]
+    small = geoms_to_df(spark, polys)
+    big = geoms_to_df(spark, points)
+    for bkw in (dict(), dict(broadcast=False)):
+        idx = SpatialIndex.build(spark, small, validate=False, **bkw)
+        assert idx._pip_unroll_npts("contains", {POINT}) == 7
+        auto = idx.spatial_join(big, how="contains", validate=False,
+                                big_kinds={POINT})
+        plan = auto._jdf.queryExecution().toString()
+        for op in ("MapInArrow", "MapInPandas", "FlatMapCoGroupsInArrow",
+                   "FlatMapCoGroupsInPandas", "BatchEvalPython"):
+            assert op not in plan, (op, bkw)
+        fast = sorted((r.big_id, r.small_id) for r in auto.collect())
+        # kernel path: omit big_kinds so no SQL fast path can engage
+        slow = sorted((r.big_id, r.small_id) for r in
+                      idx.spatial_join(big, how="contains",
+                                       validate=False).collect())
+        assert fast == slow and len(fast) > 0, bkw
+        idx.unpersist()
+    # NON-uniform corpora must refuse the unroll (stats say so)
+    mixed = polys + [(POLYGON, polys[0][1][:8], [0])]
+    idxm = SpatialIndex.build(spark, geoms_to_df(spark, mixed), validate=False)
+    assert idxm._pip_unroll_npts("contains", {POINT}) is None
+    idxm.unpersist()
+
+
 def _random_rows_with_holes(rng, n):
     rows = _random_rows(rng, n)
     out = []
@@ -449,12 +497,16 @@ def test_pair_filter_pushdown_and_equivalence(spark):
 
     rng = random.Random(17)
     quads = []
-    for _ in range(60):
+    for i in range(60):
         cx, cy = rng.uniform(-6, 6), rng.uniform(-6, 6)
         h = rng.uniform(0.1, 0.9)
-        quads.append((POLYGON,
-                      [cx - h, cy - h, cx + h, cy - h, cx + h, cy + h,
-                       cx - h, cy + h, cx - h, cy - h], [0]))
+        ring = [cx - h, cy - h, cx + h, cy - h, cx + h, cy + h,
+                cx - h, cy + h, cx - h, cy - h]
+        if i % 10 == 0:
+            # mixed vertex counts: keeps the r6 unrolled-JVM PIP OFF so
+            # this test still exercises the Python refine it is about
+            ring = ring[:6] + [cx, cy + 1.3 * h] + ring[6:]
+        quads.append((POLYGON, ring, [0]))
     pts = [(POINT, [rng.uniform(-7, 7), rng.uniform(-7, 7)]) for _ in range(500)]
     qdf, pdf = geoms_to_df(spark, quads), geoms_to_df(spark, pts)
     pred = ((F.col("big_id") % 101) * 7 + (F.col("small_id") % 101) * 3) % 4 == 0

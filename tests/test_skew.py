@@ -228,8 +228,11 @@ def _quad_rows(rng, n):
 def test_nonbroadcast_slim_probe_uses_shuffle_pairs(spark):
     """r5: auto strategy + non-broadcast + slim (point/rect) probes
     against a kernel-needing small side must pick the shuffle-pairs
-    plan — one MapInArrow over the JVM cell equi-join, NO cogroup —
-    and match the forced cogroup path exactly (joins AND prox)."""
+    plan — NO cogroup — and match the forced cogroup path exactly
+    (joins AND prox). r6: uniform hole-free polygon smalls CONTAIN
+    point probes now refine via the UNROLLED JVM ray-cast, so that
+    plan has NO Python operator at all; rect probes (no SQL
+    expression for segment-vs-rect) still ride one MapInArrow."""
     from spatialjoin.geom import POLYGON
 
     rng = random.Random(95)
@@ -243,9 +246,9 @@ def test_nonbroadcast_slim_probe_uses_shuffle_pairs(spark):
     idx = SpatialIndex.build(spark, quads, validate=False, broadcast=False)
     auto = idx.spatial_join(pts, how="contains", validate=False, big_kinds={POINT})
     plan = auto._jdf.queryExecution().toString()
-    assert "FlatMapCoGroupsInArrow" not in plan
-    assert "FlatMapCoGroupsInPandas" not in plan
-    assert "MapInArrow" in plan and "MapInPandas" not in plan
+    for op in ("FlatMapCoGroupsInArrow", "FlatMapCoGroupsInPandas",
+               "MapInArrow", "MapInPandas", "BatchEvalPython"):
+        assert op not in plan, op
     a = sorted((r.big_id, r.small_id) for r in auto.collect())
     b = sorted((r.big_id, r.small_id) for r in idx.spatial_join(
         pts, how="contains", validate=False, big_kinds={POINT},
@@ -294,6 +297,86 @@ def test_nonbroadcast_slim_probe_uses_shuffle_pairs(spark):
         strategy="cogroup").collect())
     assert ab == bb and len(ab) > 0
     idxb.unpersist()
+
+
+def test_nonbroadcast_general_probe_uses_pairs(spark):
+    """r6 (VERDICT r05 ask #2): auto strategy + non-broadcast +
+    GENERAL-geometry probes (linestrings / polygons) must pick the
+    shuffle-pairs plan — one MapInArrow over the JVM cell equi-join
+    carrying BOTH geometries, NO cogroup — and match the forced
+    cogroup path exactly, for joins AND proximity maps."""
+    from spatialjoin.geom import LINESTRING, POLYGON
+
+    rng = random.Random(96)
+    quads = geoms_to_df(spark, _quad_rows(rng, 70))
+    paths = []
+    for _ in range(120):
+        x, y = rng.uniform(-7, 7), rng.uniform(-7, 7)
+        pts = [x, y]
+        for _ in range(2):
+            x += rng.uniform(-0.8, 0.8)
+            y += rng.uniform(-0.8, 0.8)
+            pts += [x, y]
+        paths.append((LINESTRING, pts))
+    lines = geoms_to_df(spark, paths)
+
+    idx = SpatialIndex.build(spark, quads, validate=False, broadcast=False)
+    auto = idx.spatial_join(lines, how="intersects", validate=False,
+                            big_kinds={LINESTRING})
+    plan = auto._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInArrow" not in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "MapInArrow" in plan and "MapInPandas" not in plan
+    a = sorted((r.big_id, r.small_id) for r in auto.collect())
+    b = sorted((r.big_id, r.small_id) for r in idx.spatial_join(
+        lines, how="intersects", validate=False, big_kinds={LINESTRING},
+        strategy="cogroup").collect())
+    assert a == b and len(a) > 0
+    # polygon probes too (no big_kinds hint at all: the general route)
+    auto2 = idx.spatial_join(geoms_to_df(spark, _quad_rows(rng, 60)),
+                             how="intersects", validate=False)
+    plan2 = auto2._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInArrow" not in plan2
+    assert "MapInArrow" in plan2 and "MapInPandas" not in plan2
+    idx.unpersist()
+
+    # proximity with general probes through the same route
+    idxp = SpatialIndex.build(spark, quads, max_distance=0.4,
+                              validate=False, broadcast=False)
+    auto_p = idxp.proximity_map(lines, validate=False,
+                                big_kinds={LINESTRING})
+    plan_p = auto_p._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInArrow" not in plan_p
+    assert "MapInArrow" in plan_p and "MapInPandas" not in plan_p
+    pa = sorted((r.big_id, r.small_id, r.distance) for r in auto_p.collect())
+    pb = sorted((r.big_id, r.small_id, r.distance) for r in idxp.proximity_map(
+        lines, validate=False, big_kinds={LINESTRING},
+        strategy="cogroup").collect())
+    assert pa == pb and len(pa) > 0
+    idxp.unpersist()
+
+
+def test_cogroup_bbox_only_matches_pairs(spark):
+    """r6: the cogroup bbox-only fast path (rect/point small side x
+    slim probe, max_distance 0, join op — no geometry shipped, no
+    kernel calls) must equal the pairs path for all three predicates
+    and both slim probe kinds."""
+    rng = random.Random(97)
+    small = geoms_to_df(spark, _skewed_rows(rng, 150))
+    pts = geoms_to_df(spark, [(POINT, [rng.uniform(-8, 8), rng.uniform(-8, 8)])
+                              for _ in range(150)])
+    rects = geoms_to_df(spark, [(RECT, sorted_rect(rng)) for _ in range(150)])
+    idx = SpatialIndex.build(spark, small, validate=False, broadcast=False)
+    for big, bk in ((pts, POINT), (rects, RECT)):
+        for how in ("intersects", "contains", "within"):
+            a = sorted((r.big_id, r.small_id) for r in idx.spatial_join(
+                big, how=how, validate=False, big_kinds={bk},
+                strategy="cogroup").collect())
+            b = sorted((r.big_id, r.small_id) for r in idx.spatial_join(
+                big, how=how, validate=False,
+                strategy="pairs").collect())
+            assert a == b, (how, bk)
+    idx.unpersist()
 
 
 def sorted_rect(rng):
