@@ -64,13 +64,18 @@ def _prefixed(df: DataFrame, prefix: str, id_out: str) -> DataFrame:
 
 
 def with_bbox(df: DataFrame, prefix: str, buffer: float = 0.0,
-              points: bool = False) -> DataFrame:
+              points: bool = False, rects: bool = False) -> DataFrame:
     """JVM-side bbox (+optional cheap_buffer expansion) from the flat
-    coords array. Stays inside whole-stage codegen. ``points=True``
-    (caller KNOWS every row is a point) reads the two scalars directly
-    instead of building two filtered array copies per row — same
-    doubles (min of a singleton), ~half the per-row allocation on the
-    hot probe scan."""
+    coords array. ``points=True`` (caller KNOWS every row is a point)
+    reads the two scalars directly instead of building two filtered
+    array copies per row — same doubles (min of a singleton), ~half the
+    per-row allocation on the hot probe scan. ``rects=True`` reads the
+    four scalars with least/greatest (rect coords are not normalized by
+    contract — kernels.rect_minmax min/maxes them too, so these are the
+    same doubles). Both scalar forms stay inside whole-stage codegen;
+    the generic path's filter/array_min lambdas are INTERPRETED
+    higher-order expressions (measured on the 600k-probe bench scan as
+    a top per-row cost)."""
     b = F.lit(float(buffer))
     if points:
         x = F.element_at(f"{prefix}_coords", 1)
@@ -80,6 +85,17 @@ def with_bbox(df: DataFrame, prefix: str, buffer: float = 0.0,
             .withColumn(f"{prefix}_xmax", x + b)
             .withColumn(f"{prefix}_ymin", y - b)
             .withColumn(f"{prefix}_ymax", y + b)
+        )
+    if rects:
+        x1 = F.element_at(f"{prefix}_coords", 1)
+        y1 = F.element_at(f"{prefix}_coords", 2)
+        x2 = F.element_at(f"{prefix}_coords", 3)
+        y2 = F.element_at(f"{prefix}_coords", 4)
+        return (
+            df.withColumn(f"{prefix}_xmin", F.least(x1, x2) - b)
+            .withColumn(f"{prefix}_xmax", F.greatest(x1, x2) + b)
+            .withColumn(f"{prefix}_ymin", F.least(y1, y2) - b)
+            .withColumn(f"{prefix}_ymax", F.greatest(y1, y2) + b)
         )
     xs = F.filter(f"{prefix}_coords", lambda _, i: i % 2 == 0)
     ys = F.filter(f"{prefix}_coords", lambda _, i: i % 2 == 1)
@@ -471,14 +487,41 @@ class SpatialIndex:
         # (sorted_ids, GeomBatch) broadcast: when the small side is
         # broadcastable, its geometry ships to each worker ONCE instead
         # of once per candidate row through the (expensive) row->Arrow
-        # writer; candidates then carry only ids + probe geometry
-        self.small_geo_bc = small_geo_bc
+        # writer; candidates then carry only ids + probe geometry.
+        # r6: materialized LAZILY (see the small_geo_bc property) —
+        # build records the source frame and the collect job + driver
+        # broadcast happen on first ACCESS, so pure-SQL refine paths
+        # (rect/point predicates, unrolled PIP) never pay for it.
+        self._small_geo_bc_val = small_geo_bc
+        self._small_geo_src = None
         # multilevel (size-stratified) index: populated LEVELS the probe
         # side must cover (None = single-resolution index)
         self.levels = levels
         # geometry-row count from the build stats job (None when the
         # index was constructed directly; consumers fall back to a count)
         self.n_small_rows = None
+
+    @property
+    def small_geo_bc(self):
+        """(sorted_ids, GeomBatch) broadcast of the small geometry,
+        collected lazily on first access (r6): refine paths that stay
+        entirely in the JVM — rect/point SQL predicates, the unrolled
+        PIP, point-point distances — never access it, so their queries
+        skip the collect job and the driver->executor broadcast."""
+        if self._small_geo_bc_val is None and self._small_geo_src is not None:
+            src = self._small_geo_src
+            self._small_geo_src = None
+            rows = src.collect()
+            rows.sort(key=lambda r: r.small_id)
+            ids = np.array([r.small_id for r in rows], dtype=np.int64)
+            batch = GeomBatch.from_columns(
+                np.array([r.s_kind for r in rows], dtype=np.int8),
+                [np.asarray(r.s_coords, dtype=np.float64) for r in rows],
+                [r.s_rings for r in rows],
+            )
+            self._small_geo_bc_val = self.spark.sparkContext.broadcast(
+                (ids, batch))
+        return self._small_geo_bc_val
 
     # -- construction -------------------------------------------------------
 
@@ -586,10 +629,31 @@ class SpatialIndex:
                 )
                 # don't go finer than the small side's cardinality can
                 # fill (~1 geometry per cell): bounds covering blowup
+                cap_res = max(2, int(np.ceil(np.log2(max(n_small, 4)) / 2)) + 2)
                 if n_small:
-                    resolution = int(
-                        min(resolution, max(2, int(np.ceil(np.log2(max(n_small, 4)) / 2)) + 2))
-                    )
+                    resolution = int(min(resolution, cap_res))
+                # r6 PROBE-FANOUT guard: with few-but-large geometries
+                # the size-matched cell is huge and every probe meets
+                # every same-cell geometry (supplier quads at res 2:
+                # ~125 candidates/probe, 19x the true-match rate — 7.5G
+                # joined rows at the 60M rehearsal). Estimated per-cell
+                # candidate density ~ n*(med+cell)^2/span^2; go finer
+                # while it stays egregious (>32) AND finer cells still
+                # help (cell > med/2 — below that the density plateaus
+                # at its n*med^2/span^2 floor while the small covering
+                # keeps growing). Resolution changes plan shape only;
+                # the reference-point dedup keeps results identical.
+                med = max(float(med_w or 0.0), float(med_h or 0.0))
+                span = float(max(grid.x1 - grid.x0, grid.y1 - grid.y0))
+                if n_small and med > 0.0:
+                    def _density(r: int) -> float:
+                        cell = span / (1 << r)
+                        return n_small * (med + cell) ** 2 / (span * span)
+
+                    while (resolution < cap_res
+                           and _density(resolution) > 32.0
+                           and span / (1 << resolution) > med / 2.0):
+                        resolution += 1
         else:
             grid = Grid(extent)
         if multilevel and hot_threshold is not None:
@@ -627,29 +691,33 @@ class SpatialIndex:
             )
         bc = broadcast
         if bc == "auto":
-            n_cells = small_cells.count()  # materializes the cache too
-            if small_fine is not None:
-                n_cells += small_fine.count()
+            from .geom import POINT as _P
+
+            if small_kinds <= {_P} and max_distance == 0.0 and hot is None \
+                    and not multilevel:
+                # unbuffered points cover exactly ONE cell each, so the
+                # covering row count IS the geometry row count from the
+                # stats job — the auto decision needs no extra driver
+                # action (one job per kNN/point-index build saved); the
+                # persisted covering materializes on first use instead
+                n_cells = n_small
+            else:
+                n_cells = small_cells.count()  # materializes the cache too
+                if small_fine is not None:
+                    n_cells += small_fine.count()
             # byte-based budget over the GEOMETRY rows (what actually
             # gets collected — n_vals from the build stats job), not the
             # per-cell covering rows
             bc = n_cells <= BROADCAST_MAX_CELLS and n_vals * 8 <= BROADCAST_BYTE_BUDGET
-        small_geo_bc = None
-        if bc:
-            rows = s.select("small_id", "s_kind", "s_coords", "s_rings").collect()
-            rows.sort(key=lambda r: r.small_id)
-            ids = np.array([r.small_id for r in rows], dtype=np.int64)
-            batch = GeomBatch.from_columns(
-                np.array([r.s_kind for r in rows], dtype=np.int8),
-                [np.asarray(r.s_coords, dtype=np.float64) for r in rows],
-                [r.s_rings for r in rows],
-            )
-            small_geo_bc = spark.sparkContext.broadcast((ids, batch))
         idx = SpatialIndex(
             spark, small_cells, grid, resolution, max_distance, bool(bc),
             hot_cells=hot, small_fine=small_fine, fine_resolution=fine_res,
-            small_geo_bc=small_geo_bc, levels=levels,
+            small_geo_bc=None, levels=levels,
         )
+        if bc:
+            # defer the geometry collect + broadcast to first use
+            idx._small_geo_src = s.select("small_id", "s_kind",
+                                          "s_coords", "s_rings")
         # cache build-time stats on the index: later calls (kNN ring
         # sizing, SQL fast-path dispatch) would otherwise re-derive each
         # with its own driver action
@@ -699,13 +767,14 @@ class SpatialIndex:
         return b.drop("__lvl")
 
     def _probe_cells(self, big_df: DataFrame, validate: bool,
-                     point_probe: bool = False) -> DataFrame:
+                     point_probe: bool = False,
+                     rect_probe: bool = False) -> DataFrame:
         """Probe-side covering across all index levels (cold + fine)."""
         if validate:
             validate_geoms(big_df)
         b = _prefixed(big_df, "b", "big_id")
         b = ensure_parallelism(b)
-        b = with_bbox(b, "b", buffer=0.0, points=point_probe)
+        b = with_bbox(b, "b", buffer=0.0, points=point_probe, rects=rect_probe)
         if self.levels is not None:
             return self._probe_cells_ml(b)
         b = with_cells(b, "b", self.grid, self.resolution, keep_cxy=True)
@@ -779,7 +848,8 @@ class SpatialIndex:
             and self.max_distance == 0.0
             and self._small_kinds() <= {KP, KR}
         )
-        b = self._probe_cells(big_df, validate, point_probe=slim == "point")
+        b = self._probe_cells(big_df, validate, point_probe=slim == "point",
+                              rect_probe=slim == "rect")
         small = self.small_cells
         if self.small_fine is not None:
             small = small.unionByName(self.small_fine)
@@ -983,12 +1053,13 @@ class SpatialIndex:
         )
 
     def _candidates(self, big_df: DataFrame, validate: bool,
-                    point_probe: bool = False) -> DataFrame:
+                    point_probe: bool = False,
+                    rect_probe: bool = False) -> DataFrame:
         if validate:
             validate_geoms(big_df)
         b = _prefixed(big_df, "b", "big_id")
         b = ensure_parallelism(b)
-        b = with_bbox(b, "b", buffer=0.0, points=point_probe)
+        b = with_bbox(b, "b", buffer=0.0, points=point_probe, rects=rect_probe)
 
         def bcast(df):
             return F.broadcast(df) if self.broadcast_small else df
@@ -1260,6 +1331,7 @@ class SpatialIndex:
         cand = self._candidates(
             big_df, validate,
             point_probe=big_kinds is not None and set(big_kinds) == {_KP},
+            rect_probe=big_kinds is not None and set(big_kinds) == {_KR},
         )
         if pair_filter is not None:
             # pair-identity predicate: refine is deterministic, so
@@ -1406,6 +1478,7 @@ class SpatialIndex:
         cand = self._candidates(
             big_df, validate,
             point_probe=big_kinds is not None and set(big_kinds) == {KP},
+            rect_probe=big_kinds is not None and set(big_kinds) == {KR},
         )
         if pair_filter is not None:
             cand = cand.where(pair_filter)

@@ -330,8 +330,6 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
             (F.col("cnt") >= k) & (F.col("kth") < F.lit(covered))
         ).select("big_id").persist()
         cached.append(done_ids)
-        done_rows = topk.join(done_ids, on="big_id", how="left_semi")
-        results.append(done_rows)
         pending_next = pending.join(done_ids, on="big_id", how="left_anti").persist()
         cached.append(pending_next)
         n_pending = pending_next.count()
@@ -339,7 +337,11 @@ def _knn_with_index(spark, idx: SpatialIndex, big_df, k, validate, initial_ring,
         if _dbg:
             print(f"[knn] round {rounds} done-check wall={_time.perf_counter() - _t0:.2f} pending={n_pending}")
         if n_pending == 0:
+            # every probe finished this round: the done-filter semi join
+            # would be the identity — ship the cached topk as-is
+            results.append(topk)
             break
+        results.append(topk.join(done_ids, on="big_id", how="left_semi"))
         if bc is not None and n_pending <= 4096:
             # straggler sweep: exact brute force against the broadcast
             # index beats up to log4(grid) more ring-escalation rounds

@@ -1422,7 +1422,8 @@ def q_events_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "event_type", "value",
     )
     geo = pts.select("id", "kind", "coords", "rings")
-    tiles = assign_tiles(geo, zoom=TILE_ZOOM, extent=TILE_EXTENT, validate=False)
+    tiles = assign_tiles(geo, zoom=TILE_ZOOM, extent=TILE_EXTENT, validate=False,
+                         kinds={0})
     joined = tiles.join(pts.select("id", "ts", "event_type", "value"), on="id")
     return (
         joined.selectExpr(
@@ -1454,7 +1455,8 @@ def q_prox_with_geos(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster-tile <-> vector assignment of part rects at zoom 5."""
     rects = _rects_df(spark, sf_dir, "part", "p_partkey")
-    out = assign_tiles(rects, zoom=TILE_ZOOM, extent=TILE_EXTENT, validate=False)
+    out = assign_tiles(rects, zoom=TILE_ZOOM, extent=TILE_EXTENT, validate=False,
+                       kinds={4})
     return out.select("id", "tx", "ty")
 
 
@@ -3729,7 +3731,8 @@ FROM cells GROUP BY ROLLUP (tx, ty)
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over a spatial op: customers per zoom-5 tile."""
     pts = _points_df(spark, sf_dir, "customer", "c_custkey")
-    tiles = assign_tiles(pts, zoom=TILE_ZOOM, extent=TILE_EXTENT, validate=False)
+    tiles = assign_tiles(pts, zoom=TILE_ZOOM, extent=TILE_EXTENT, validate=False,
+                         kinds={0})
     return tiles.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("n_customers"))
 
 

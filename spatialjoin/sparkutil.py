@@ -39,6 +39,14 @@ def get_spark(cpus: int | None = None, app: str = "spatialjoin", shuffle_partiti
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
+        # align Spark's codegen fallback with HotSpot's JIT refusal
+        # limit (-XX:HugeMethodLimit=8000 bytecode): a generated method
+        # between 8000 and the 65535 default runs in the JVM BYTECODE
+        # INTERPRETER forever — measured 23x slower than Spark's own
+        # interpreted expressions on the unrolled PIP predicate (r6).
+        # Scale-independent: a pure codegen-quality guard, not a tuning
+        # knob for this machine.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"))

@@ -27,10 +27,20 @@ from .grid import Grid
 from .index import _prefixed, with_bbox, with_cells, validate_geoms
 
 
-def assign_tiles(geoms_df: DataFrame, zoom: int, extent, validate: bool = True) -> DataFrame:
+def assign_tiles(geoms_df: DataFrame, zoom: int, extent, validate: bool = True,
+                 kinds=None) -> DataFrame:
     """DF[id, tile, tx, ty] — tiles whose closed rect intersects the
     geometry (Intersects semantics, matching the engine's spatial join
-    with a Rect small side)."""
+    with a Rect small side).
+
+    ``kinds``: optional set of kind codes present in ``geoms_df``. When
+    every row is a POINT/RECT the refine is tile-bbox overlap — the
+    same doubles the kernel compares (_int_pt_rect/_int_rect_rect are
+    closed bbox logic; tile corners recomputed with the identical
+    x0 + t*tw (+tw) float expressions) — and the plan never leaves the
+    JVM (r6: MapInPandas removed for these workloads)."""
+    from .geom import POINT
+
     grid = Grid(extent)
     if validate:
         validate_geoms(geoms_df)
@@ -38,10 +48,24 @@ def assign_tiles(geoms_df: DataFrame, zoom: int, extent, validate: bool = True) 
 
     g = _prefixed(geoms_df, "b", "id")
     g = ensure_parallelism(g)
-    g = with_bbox(g, "b", buffer=0.0)
+    slim = kinds is not None and set(kinds) <= {POINT, RECT}
+    g = with_bbox(g, "b", buffer=0.0,
+                  points=slim and set(kinds) == {POINT},
+                  rects=slim and set(kinds) == {RECT})
     g = with_cells(g, "b", grid, zoom, keep_cxy=True)
     tw, th = grid.cell_size(zoom)
     x0, y0 = grid.x0, grid.y0
+    if slim:
+        txmin = F.lit(x0) + F.col("cx") * F.lit(tw)
+        tymin = F.lit(y0) + F.col("cy") * F.lit(th)
+        keep = (
+            (F.col("b_xmin") <= txmin + F.lit(tw)) & (F.col("b_xmax") >= txmin)
+            & (F.col("b_ymin") <= tymin + F.lit(th)) & (F.col("b_ymax") >= tymin)
+        )
+        return g.where(keep).select(
+            F.col("id"), F.col("cell").alias("tile"),
+            F.col("cx").alias("tx"), F.col("cy").alias("ty"),
+        )
 
     schema = T.StructType(
         [

@@ -207,6 +207,65 @@ def test_streaming_windowed_cell_counts(spark, tmp_path):
     assert all(r.n_events >= 1 and r.sum_value is not None for r in got)
 
 
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data correctness (r6, VERDICT r05 ask #7): an event whose
+    timestamp falls in an already-closed window and arrives AFTER the
+    watermark has passed it must be dropped — the closed window is
+    never re-emitted and the late row is counted nowhere."""
+    from spatialjoin.streaming import windowed_cell_counts
+
+    src = str(tmp_path / "late_in")
+    ckpt = str(tmp_path / "late_ckpt")
+    dst = str(tmp_path / "late_out")
+    grid = Grid((-10.0, -10.0, 10.0, 10.0))
+    schema_str = "event_id long, ts string, x double, y double, value double"
+
+    def write(rows, mode):
+        df = spark.createDataFrame(rows, schema_str).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "x", "y", "value")
+        df.write.mode(mode).parquet(src)
+        return df
+
+    def run():
+        # file sink: supports checkpoint recovery (memory sink does
+        # not), so each call processes only the NEW source increment
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        agg = windowed_cell_counts(stream, grid, res=4, window="10 seconds")
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", dst).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return spark.read.parquet(dst).collect()
+
+    # batch 1: five on-time events in the 00:00:00 window + a pusher at
+    # 00:05 that advances the watermark far past that window's end
+    write([(i, f"2026-01-01 00:00:0{i}", -5.0 + i, 3.0, 1.0)
+           for i in range(5)]
+          + [(50, "2026-01-01 00:05:00", 4.0, 4.0, 1.0)], "overwrite")
+    got1 = run()
+    w0 = [r for r in got1 if r.window_start.second == 0 and
+          r.window_start.minute == 0]
+    assert sum(r.n_events for r in w0) == 5, got1
+
+    # batch 2: ONE LATE event inside the closed 00:00:00 window (far
+    # older than the watermark) + a pusher at 00:10 closing the 00:05
+    # window
+    write([(99, "2026-01-01 00:00:01", -5.0, 3.0, 100.0),
+           (60, "2026-01-01 00:10:00", 4.0, 4.0, 1.0)], "append")
+    got2 = run()
+    new = len(got2) - len(got1)
+    # the late row must be dropped: the 00:00:00 window keeps exactly
+    # its original rows (never re-emitted/updated), the only newly
+    # closed window is 00:05's pusher, and value 100 appears nowhere
+    w0_after = [r for r in got2 if r.window_start.second == 0 and
+                r.window_start.minute == 0]
+    assert sum(r.n_events for r in w0_after) == 5, got2
+    assert len(w0_after) == len(w0)
+    assert new >= 1 and sum(r.n_events for r in got2) == 6, got2
+    assert all(r.sum_value != 100.0 for r in got2), got2
+
+
 def test_stateful_cell_sketch_matches_batch(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState): the per-cell
     bottom-k sketch after streaming in two chunks must equal the batch
