@@ -4462,6 +4462,7 @@ QUERIES = {
     "hilbert_key": q_hilbert_key,
     "hilbert_extent_scan": q_hilbert_extent_scan,
     "dup_clusters": TEXT_QUERIES["dup_clusters"],
+    "chain_clusters": TEXT_QUERIES["chain_clusters"],
     "phash_near_dup": q_phash_near_dup,
     "knn_images": q_knn_images,
     "wkb_quads_contain_points": q_wkb_quads_contain_points,
@@ -4482,7 +4483,6 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_topk_clustered": q_ann_topk_clustered,
     "ann_ivf_clustered": q_ann_ivf_clustered,
-    "ann_lsh_clustered": q_ann_lsh_clustered,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "cell_counts": q_cell_counts,
@@ -4506,6 +4506,7 @@ QUERIES = {
     "rects_intersect_cogroup": q_rects_intersect_cogroup,
     "prox_points": q_prox_points,
     # ======================= driver window ends here ======================
+    "ann_lsh_clustered": q_ann_lsh_clustered,
     # -- banked: green in CORRECTNESS_r05 ----------------------------------
     "rects_intersect_shuffle": q_rects_intersect_shuffle,
     "mixed_prox_points": q_mixed_prox_points,

@@ -469,9 +469,80 @@ ORDER BY n DESC, tok ASC LIMIT 20
 """.strip()
 
 
+# rounds taken by the most recent dup_clusters call, keyed by
+# algorithm — read by tests asserting the star alternation's
+# O(log n)-round bound vs min-label's diameter-bound rounds
+LAST_CC_ROUNDS: dict = {}
+
+
+def _cc_large_small_star(docs: DataFrame, pairs: DataFrame, id_col: str,
+                         a_col: str, b_col: str, max_rounds: int) -> DataFrame:
+    """Connected components via the alternating large-star/small-star
+    rounds of Kiveris et al., "Connected Components in MapReduce and
+    Beyond" (SoCC'14): converges in O(log^2 n) rounds INDEPENDENT of
+    component diameter (min-label propagation needs diameter rounds —
+    a chained-duplicate run of n docs takes n-1 of them).
+
+    Edges are kept canonical as (h, l) with h > l. Per round:
+      large-star: every node u attaches its strictly-larger neighbors
+                  to min(neighborhood(u) + {u});
+      small-star: every node h attaches its lower neighbors (and
+                  itself) to its minimum lower neighbor.
+    Fixed point: one star per component centered at the component
+    minimum; labels read off the star edges (isolated docs label
+    themselves)."""
+    ids = docs.select(F.col(id_col).alias("id"))
+    e = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("h"), F.least("a", "b").alias("l"))
+        .distinct().localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # LARGE-STAR over the symmetric neighborhood
+        sym = e.select(F.col("h").alias("u"), F.col("l").alias("v")).unionByName(
+            e.select(F.col("l").alias("u"), F.col("h").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", F.col("u")).alias("m")))
+        lg = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("h"), F.col("m").alias("l"))
+            .distinct()
+        )
+        # SMALL-STAR: lg is canonical (h > l); per h the lower
+        # neighborhood is exactly its l's
+        sm = lg.join(lg.groupBy("h").agg(F.min("l").alias("m")), "h")
+        new_e = (
+            sm.where(F.col("l") != F.col("m"))
+            .select(F.col("l").alias("h"), F.col("m").alias("l"))
+            .unionByName(sm.select("h", F.col("m").alias("l")))
+            .distinct().localCheckpoint(eager=True)
+        )
+        changed = (
+            new_e.join(e, ["h", "l"], "left_anti").limit(1).count()
+            + e.join(new_e, ["h", "l"], "left_anti").limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters(star) did not converge in {max_rounds} rounds")
+    LAST_CC_ROUNDS["star"] = rounds
+    centers = e.groupBy("h").agg(F.min("l").alias("lbl")).withColumnRenamed("h", "id")
+    return (
+        ids.join(centers, on="id", how="left")
+        .select(F.col("id").alias(id_col),
+                F.coalesce("lbl", F.col("id")).alias("cluster_id"))
+    )
+
+
 def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                  a_col: str = "d1", b_col: str = "d2",
-                 max_rounds: int = 50) -> DataFrame:
+                 max_rounds: int = 50, algorithm: str = "label") -> DataFrame:
     """Connected components over near-dup PAIRS -> DF[doc_id,
     cluster_id], cluster_id = MIN doc id in the component — the
     "keeper" a dedup pipeline retains per duplicate group (pair lists
@@ -484,17 +555,27 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     so typically 2-3). Each round is one shuffle join + map-side-
     combinable min aggregation; the label frame (2 longs/doc) is
     localCheckpoint'ed per round so lineage stays O(1) and the driver
-    convergence check is one count. At 10^12-doc scale swap the
-    propagation step for the two-phase large-star/small-star rounds of
-    Kiveris et al., "Connected Components in MapReduce and Beyond"
-    (SoCC'14) — O(log^2 n) rounds independent of diameter; the
-    loop/convergence/checkpoint scaffolding here is unchanged."""
+    convergence check is one count.
+
+    ``algorithm="star"`` (r6) runs the two-phase large-star/small-star
+    alternation of Kiveris et al. (SoCC'14) instead — O(log^2 n) rounds
+    independent of component DIAMETER, the 10^12-doc path for graphs
+    with long chains (boilerplate-page duplicate runs); identical
+    output. Default stays "label": near-dup components are small
+    cliques and min-label does them in 2-3 cheaper rounds."""
+    if algorithm == "star":
+        return _cc_large_small_star(docs, pairs, id_col, a_col, b_col,
+                                    max_rounds)
+    if algorithm != "label":
+        raise ValueError("algorithm must be label|star")
     e1 = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     e2 = pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
     edges = e1.unionByName(e2).distinct().persist()
     labels = docs.select(F.col(id_col).alias("id"),
                          F.col(id_col).alias("lbl")).localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         nbr = (
             edges.join(labels.select(F.col("id").alias("v"),
                                      F.col("lbl").alias("vlbl")), on="v")
@@ -515,6 +596,7 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     else:
         edges.unpersist()
         raise RuntimeError(f"dup_clusters did not converge in {max_rounds} rounds")
+    LAST_CC_ROUNDS["label"] = rounds
     edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
 
@@ -527,6 +609,37 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     prs = q_ngram_jaccard(spark, sf_dir).select("d1", "d2")
     return dup_clusters(docs, prs)
+
+
+def q_chain_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-DIAMETER connected components driver row (r6, VERDICT r05
+    ask #6): documents chained by sorted-id adjacency in segments of 64
+    (edge between the rn-th and (rn+1)-th doc unless rn+1 crosses a
+    segment boundary) — component diameter 63, where min-label
+    propagation needs 63 rounds (beyond its default budget) but the
+    Kiveris large-star/small-star alternation converges in O(log)
+    rounds (round count asserted in tests/test_textops.py). Oracle:
+    segments are contiguous runs of 64 sorted ids, so cluster_id is the
+    min id of each run — exact without recursion."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = docs.withColumn("rn", F.row_number().over(Window.orderBy("doc_id")) - 1)
+    nxt = d.select((F.col("rn") - 1).alias("rn"), F.col("doc_id").alias("d2"))
+    edges = (
+        d.join(nxt, "rn")
+        .where((F.col("rn") + 1) % 64 != 0)
+        .select(F.col("doc_id").alias("d1"), "d2")
+    )
+    return dup_clusters(docs, edges, algorithm="star")
+
+
+ORACLE_CHAIN_CLUSTERS = """
+WITH d AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents
+)
+SELECT doc_id, min(doc_id) OVER (PARTITION BY (rn // 64)) AS cluster_id FROM d
+""".strip()
 
 
 ORACLE_DUP_CLUSTERS = f"""
@@ -562,6 +675,7 @@ TEXT_QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "token_top_terms": q_token_top_terms,
     "dup_clusters": q_dup_clusters,
+    "chain_clusters": q_chain_clusters,
 }
 
 TEXT_ORACLES = {
@@ -574,4 +688,5 @@ TEXT_ORACLES = {
     "lang_guess": ORACLE_LANG_GUESS,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "dup_clusters": ORACLE_DUP_CLUSTERS,
+    "chain_clusters": ORACLE_CHAIN_CLUSTERS,
 }
