@@ -636,6 +636,24 @@ def q_lines_intersect_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.spatial_join(lines, how="intersects", validate=False, big_kinds={1})
 
 
+def q_paths_intersect_rects_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINESTRING-probe join on a NON-broadcast index with strategy
+    AUTO — the r6 general-geometry shuffle-pairs route (VERDICT r05 ask
+    #2): the JVM cell equi-join carries BOTH geometries per candidate
+    pair and ONE contiguous mapInArrow decodes them as flat Arrow
+    buffers (GeomBatch.from_arrow) for the kernel refine — no
+    FlatMapCoGroupsInArrow anywhere (plan-asserted in
+    tests/test_skew.py test_nonbroadcast_general_probe_uses_pairs;
+    cogroup-equivalence tested there too). Replaces cogroup as the
+    non-broadcast production plan for polygon/linestring probes, whose
+    N->4N efficiency measured 0.246 vs 0.67+ for pairs. Shares
+    q_paths_intersect_rects's oracle."""
+    rects = _rects_df(spark, sf_dir, "part", "p_partkey")
+    paths = _paths_df(spark, sf_dir, "orders", "o_orderkey")
+    idx = SpatialIndex.build(spark, rects, validate=False, broadcast=False)
+    return idx.spatial_join(paths, how="intersects", validate=False, big_kinds={2})
+
+
 def q_tris_contain_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRIANGLE kind through the engine: supplier triangles CONTAIN
     customer points (geo same-side test, boundary-inclusive)."""
@@ -3355,6 +3373,7 @@ ORDER BY n_customers DESC, tx ASC, ty ASC LIMIT 10
         "hilbert_extent_scan": _oracle_hilbert_extent(),
         "knn_images": _oracle_knn_images(),
         "paths_intersect_rects": _oracle_paths_rects(),
+        "paths_intersect_rects_pairs": _oracle_paths_rects(),
         "lines_intersect_rects": _oracle_lines_rects(),
         "tris_contain_points": _oracle_tris_points(),
         "tris_intersect_rects": _oracle_tris_rects(),
@@ -4463,6 +4482,7 @@ QUERIES = {
     "hilbert_extent_scan": q_hilbert_extent_scan,
     "dup_clusters": TEXT_QUERIES["dup_clusters"],
     "chain_clusters": TEXT_QUERIES["chain_clusters"],
+    "paths_intersect_rects_pairs": q_paths_intersect_rects_pairs,
     "phash_near_dup": q_phash_near_dup,
     "knn_images": q_knn_images,
     "wkb_quads_contain_points": q_wkb_quads_contain_points,
@@ -4481,7 +4501,6 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
-    "ann_topk_clustered": q_ann_topk_clustered,
     "ann_ivf_clustered": q_ann_ivf_clustered,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -4506,6 +4525,7 @@ QUERIES = {
     "rects_intersect_cogroup": q_rects_intersect_cogroup,
     "prox_points": q_prox_points,
     # ======================= driver window ends here ======================
+    "ann_topk_clustered": q_ann_topk_clustered,
     "ann_lsh_clustered": q_ann_lsh_clustered,
     # -- banked: green in CORRECTNESS_r05 ----------------------------------
     "rects_intersect_shuffle": q_rects_intersect_shuffle,
