@@ -47,6 +47,12 @@ def get_spark(cpus: int | None = None, app: str = "spatialjoin", shuffle_partiti
         # Scale-independent: a pure codegen-quality guard, not a tuning
         # knob for this machine.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # reliable checkpoints (knn_join under a checkpoint dir) are
+        # deleted on GC of the frame only when this is set — without it
+        # long-lived sessions accumulate full result copies under the
+        # checkpoint dir (VERDICT r05 ask #4; knn.py warns when a
+        # session lacks it)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"))
