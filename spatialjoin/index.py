@@ -1168,10 +1168,15 @@ class SpatialIndex:
         + on-boundary test as _sql_pip and kernels.point_in_poly_strict,
         term for term (the crossing count is a sum of 0/1 longs, whose
         addition order cannot change parity), so results stay
-        bit-identical to the kernel path — but with no higher-order
-        functions the whole predicate compiles into whole-stage codegen
-        instead of the interpreted aggregate/exists lambdas (the
-        measured ~19 us/candidate that kept _sql_pip opt-in).
+        bit-identical to the kernel path — with no higher-order
+        functions (the interpreted aggregate/exists lambdas measured
+        ~19 us/candidate and kept _sql_pip opt-in). NOTE the generated
+        code for 4+ segments exceeds HotSpot's 8000-bytecode JIT limit;
+        with spark.sql.codegen.hugeMethodLimit=8000 (get_spark) the
+        stage falls back to Spark's JIT-compiled expression interpreter,
+        which measured 12x faster than letting the JVM bytecode-
+        interpret the huge generated method and ~3x faster than the
+        aggregate/exists form.
 
         ``px``/``py`` are SQL expression strings for the probe point —
         callers pass the b_xmin/b_ymin bbox scalars for point probes
